@@ -1,0 +1,265 @@
+"""Asymmetric Ternary Quantizer (ATQ) — pure, jittable JAX functions.
+
+TPU-native redesign of the reference ATQ pipeline
+(`/root/reference/quantizer.py:16-293`):
+
+  * ``ternary_init``      — asymmetric init (ref quantizer.py:32-69)
+  * ``optimal_grid``      — closed-form (alpha*, mu*) for fixed T (ref quantizer.py:71-108)
+  * ``flexible_round``    — nearest-ternary rounding (ref quantizer.py:110-134)
+  * ``itf``               — iterative ternary fitting as ``lax.while_loop``
+                            (ref quantizer.py:136-175)
+  * ``aga``               — activation-aware grid alignment from an S = X^T X
+                            statistic (ref quantizer.py:177-248)
+  * ``atq_quantize``      — full pipeline (ref quantizer.py:250-277)
+
+Differences from the reference (deliberate, TPU-first):
+
+  * Everything is a pure function on ``jnp`` arrays — no classes, no Python
+    loops; ITF is a ``lax.while_loop`` with a "T unchanged" fixed-point test,
+    so the whole quantizer jits and batches under ``vmap``.
+  * Every function takes an optional per-column validity ``mask`` so that
+    fixed-shape (padded) blocks reproduce the reference's ragged-block math
+    exactly. This is what lets the GPTQ block loop (quant/gptq.py) run as a
+    single fixed-shape ``lax.fori_loop`` instead of the reference's
+    data-dependent Python loop.
+  * AGA consumes the true covariance submatrix S = X^T X directly (the
+    reference's driver path computes it from sliced activations at
+    main.py:177-180; AGA is invariant to positive rescaling of S, so passing
+    the normalized Hessian submatrix is mathematically identical). This fixes
+    the reference's standalone-path surrogate quirk (gptq.py:147-150, see
+    SURVEY.md §2.4-5).
+
+All math runs in float32 (TPU has no fp64); the reference runs fp16/fp32
+mixtures on GPU. The closed forms only involve row-wise reductions, so fp32
+accumulation is strictly more accurate than the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "ternary_init",
+    "optimal_grid",
+    "flexible_round",
+    "itf",
+    "aga",
+    "atq_quantize",
+    "dequantize",
+    "quantization_error",
+    "output_error",
+    "ATQResult",
+]
+
+_EPS = 1e-8
+_DEFAULT_MAX_ITER = 100  # ref quantizer.py:25-30
+
+
+class ATQResult(NamedTuple):
+    """Result of a full ATQ fit over a (n, m) weight block."""
+
+    alpha: jax.Array  # (n, 1) row-wise scale
+    mu: jax.Array  # (n, 1) row-wise offset
+    T: jax.Array  # (n, m) ternary codes in {-1, 0, +1}, float32
+
+
+def _mask_or_ones(W: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+    if mask is None:
+        return jnp.ones((W.shape[-1],), dtype=W.dtype)
+    return mask.astype(W.dtype)
+
+
+def ternary_init(
+    W: jax.Array, mask: Optional[jax.Array] = None
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Asymmetric ternary initialization (ref quantizer.py:32-69).
+
+    mu    = row mean of W            (Eq. 4)
+    delta = 0.75 * row mean |W - mu| (Eq. 5, TWN threshold)
+    T     = sign(W - mu) where |W - mu| > delta else 0
+    alpha = sum(T * (W - mu)) / sum(|T|)
+
+    ``mask`` marks valid columns; invalid columns contribute nothing and get
+    T = 0, matching the reference math on the unpadded block.
+    """
+    m = _mask_or_ones(W, mask)
+    count = jnp.maximum(jnp.sum(m), 1.0)
+
+    mu = jnp.sum(W * m, axis=-1, keepdims=True) / count
+    Wc = (W - mu) * m
+    delta = 0.75 * jnp.sum(jnp.abs(Wc), axis=-1, keepdims=True) / count
+
+    T = jnp.where(Wc > delta, 1.0, 0.0) + jnp.where(Wc < -delta, -1.0, 0.0)
+    T = T * m
+
+    numer = jnp.sum(T * Wc, axis=-1, keepdims=True)
+    denom = jnp.maximum(jnp.sum(jnp.abs(T), axis=-1, keepdims=True), _EPS)
+    alpha = numer / denom
+    return alpha, mu, T
+
+
+def optimal_grid(
+    W: jax.Array, T: jax.Array, mask: Optional[jax.Array] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Closed-form optimal (alpha*, mu*) for fixed T (ref quantizer.py:71-108).
+
+    alpha* = (m (W∘T)1 - (T1)(W1)) / (m (T∘T)1 - (T1)^2)
+    mu*    = ((T∘T)1 (W1) - (T1)(W∘T)1) / (m (T∘T)1 - (T1)^2)
+
+    where 1-sums run over valid columns and m is the valid-column count.
+    """
+    msk = _mask_or_ones(W, mask)
+    count = jnp.maximum(jnp.sum(msk), 1.0)
+
+    Wm = W * msk
+    Tm = T * msk
+    WT_sum = jnp.sum(Wm * Tm, axis=-1, keepdims=True)
+    T_sum = jnp.sum(Tm, axis=-1, keepdims=True)
+    W_sum = jnp.sum(Wm, axis=-1, keepdims=True)
+    T2_sum = jnp.sum(Tm * Tm, axis=-1, keepdims=True)
+
+    denom = jnp.maximum(count * T2_sum - T_sum * T_sum, _EPS)
+    alpha = (count * WT_sum - T_sum * W_sum) / denom
+    mu = (T2_sum * W_sum - T_sum * WT_sum) / denom
+    return alpha, mu
+
+
+def flexible_round(
+    W: jax.Array,
+    alpha: jax.Array,
+    mu: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Nearest-ternary rounding given the grid (ref quantizer.py:110-134).
+
+    Z = (W - mu) / max(alpha, eps); T = 1[Z > .5] - 1[Z < -.5].
+    """
+    msk = _mask_or_ones(W, mask)
+    alpha_safe = jnp.maximum(alpha, _EPS)
+    Z = (W - mu) / alpha_safe
+    T = jnp.where(Z > 0.5, 1.0, 0.0) + jnp.where(Z < -0.5, -1.0, 0.0)
+    return T * msk
+
+
+def itf(
+    W: jax.Array,
+    alpha: jax.Array,
+    mu: jax.Array,
+    T: jax.Array,
+    mask: Optional[jax.Array] = None,
+    max_iter: int = _DEFAULT_MAX_ITER,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Iterative Ternary Fitting (ref quantizer.py:136-175).
+
+    Alternates ``optimal_grid`` / ``flexible_round`` until T is a fixed point
+    (or ``max_iter``). Implemented as ``lax.while_loop`` so it stays inside
+    jit; the body is idempotent at the fixed point, so extra iterations under
+    ``vmap`` (while some batch elements still converge) do not change results.
+
+    Mirrors the reference's convergence-check-first ordering: iteration 0
+    compares T against an all-zeros ``T_prev``, so an all-zero initial T
+    returns the inputs untouched (ref quantizer.py:160-164).
+    """
+
+    def cond(state):
+        _, _, T_cur, T_prev, it = state
+        return jnp.logical_and(it < max_iter, jnp.any(T_cur != T_prev))
+
+    def body(state):
+        _, _, T_cur, _, it = state
+        a, u = optimal_grid(W, T_cur, mask)
+        T_new = flexible_round(W, a, u, mask)
+        return (a, u, T_new, T_cur, it + 1)
+
+    T_prev0 = jnp.zeros_like(T)
+    alpha, mu, T, _, _ = jax.lax.while_loop(
+        cond, body, (alpha, mu, T, T_prev0, jnp.int32(0))
+    )
+    return alpha, mu, T
+
+
+def aga(
+    W: jax.Array,
+    T: jax.Array,
+    S: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Activation-aware Grid Alignment (ref quantizer.py:177-248).
+
+    Refines (alpha, mu) to minimize ||W X - (alpha T + mu) X||_F^2 using only
+    the second-moment statistic S = X^T X (shape (m, m)):
+
+      s1 = S 1, d = 1^T S 1, v = T s1
+      alpha* = (d (W∘T)s1 - v (W s1)) / (d (T∘T)s1 - v^2)
+      mu*    = ((T∘T)s1 (W s1) - v (W∘T)s1) / (d (T∘T)s1 - v^2)
+
+    Invalid rows/columns of S are masked to zero, which reproduces the
+    reference math on the unpadded block. The formulas are invariant to
+    positive rescaling of S, so passing the normalized Hessian submatrix
+    H_block = (X^T X / N)[blk, blk] is exactly equivalent to the reference
+    driver's raw-activation path (main.py:177-180).
+    """
+    msk = _mask_or_ones(W, mask)
+
+    Sm = S * msk[None, :] * msk[:, None]
+    s1 = jnp.sum(Sm, axis=-1)  # (m,)
+    d = jnp.sum(s1)  # scalar, 1^T S 1
+
+    Tm = T * msk
+    Wm = W * msk
+    v = Tm @ s1[:, None]  # (n, 1)
+    WS1 = Wm @ s1[:, None]
+    WT_S1 = (Wm * Tm) @ s1[:, None]
+    T2_S1 = (Tm * Tm) @ s1[:, None]
+
+    denom = jnp.maximum(d * T2_S1 - v * v, _EPS)
+    alpha = (d * WT_S1 - v * WS1) / denom
+    mu = (T2_S1 * WS1 - v * WT_S1) / denom
+    return alpha, mu
+
+
+@functools.partial(jax.jit, static_argnames=("use_aga", "max_iter"))
+def atq_quantize(
+    W: jax.Array,
+    S: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    use_aga: bool = True,
+    max_iter: int = _DEFAULT_MAX_ITER,
+) -> ATQResult:
+    """Full ATQ pipeline: init → ITF → AGA (ref quantizer.py:250-277).
+
+    Args:
+      W: (n, m) weight block, float32.
+      S: optional (m, m) covariance statistic X^T X for AGA; AGA is skipped
+         when ``S is None`` or ``use_aga=False`` (matching the reference's
+         ``X is None`` branch at quantizer.py:274-275).
+      mask: optional (m,) column-validity mask for padded blocks.
+    """
+    W = W.astype(jnp.float32)
+    alpha, mu, T = ternary_init(W, mask)
+    alpha, mu, T = itf(W, alpha, mu, T, mask, max_iter=max_iter)
+    if use_aga and S is not None:
+        alpha, mu = aga(W, T, S.astype(jnp.float32), mask)
+    return ATQResult(alpha=alpha, mu=mu, T=T)
+
+
+def dequantize(alpha: jax.Array, mu: jax.Array, T: jax.Array) -> jax.Array:
+    """W_c = alpha * T + mu (ref quantizer.py:279-293)."""
+    return alpha * T.astype(alpha.dtype) + mu
+
+
+def quantization_error(W: jax.Array, W_c: jax.Array) -> jax.Array:
+    """E_w = ||W - W_c||_F^2 (ref quantizer.py:296-298)."""
+    d = W - W_c
+    return jnp.sum(d * d)
+
+
+def output_error(W: jax.Array, W_c: jax.Array, X: jax.Array) -> jax.Array:
+    """E_x = ||(W - W_c) X^T||_F^2 (ref quantizer.py:301-306)."""
+    X = X.reshape(-1, X.shape[-1])
+    d = (W - W_c) @ X.T
+    return jnp.sum(d * d)

@@ -1,0 +1,101 @@
+"""Hessian accumulation and damped inversion for GPTQ.
+
+Reference behavior being reproduced (TPU-idiomatically):
+
+  * accumulation H += X^T X over calibration batches (ref gptq.py:59-76,
+    main.py:127-129) — here a jitted rank-k update so it runs batch-by-batch
+    on device without materializing all activations;
+  * normalization H / nsamples (ref gptq.py:94, main.py:129);
+  * damping diag += percdamp * mean(diag) (ref gptq.py:97-98, main.py:131-133);
+  * Cholesky inverse with a fallback when factorization fails
+    (ref gptq.py:101-106, main.py:136-141). TPUs have no fp64 and JAX's
+    Cholesky returns NaNs rather than raising, so the fallback is a
+    host-driven damping-escalation retry (x10 per attempt) ending in pinv —
+    strictly more robust than the reference's single pinv fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["HessianAccumulator", "accumulate_hessian", "damped_inverse"]
+
+
+@jax.jit
+def accumulate_hessian(H: jax.Array, X: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """One rank-k Hessian update: H += X^T X.
+
+    Args:
+      H: (m, m) float32 running sum.
+      X: (..., m) activations; leading dims are flattened (ref gptq.py:68-69).
+
+    Returns:
+      (updated H, number of rows added) — caller tracks nsamples.
+    """
+    X2 = X.reshape(-1, X.shape[-1]).astype(jnp.float32)
+    H = H + X2.T @ X2
+    return H, jnp.int32(X2.shape[0])
+
+
+class HessianAccumulator:
+    """Streaming H = X^T X accumulator for one linear layer.
+
+    Keeps the (m, m) float32 buffer on device; ``update`` is jitted. The
+    equivalent of ``GPTQ.add_batch`` (ref gptq.py:59-76) without hooks —
+    the calibration driver feeds tapped activations explicitly.
+    """
+
+    def __init__(self, in_features: int, device=None):
+        self.in_features = in_features
+        self.H = jnp.zeros((in_features, in_features), dtype=jnp.float32)
+        if device is not None:
+            self.H = jax.device_put(self.H, device)
+        self.nsamples = 0
+
+    def update(self, X: jax.Array) -> None:
+        self.H, n = accumulate_hessian(self.H, X)
+        self.nsamples += int(n)
+
+    def normalized(self) -> jax.Array:
+        """H / nsamples (ref gptq.py:94). Undamped."""
+        return self.H / max(self.nsamples, 1)
+
+
+@jax.jit
+def _cholesky_inverse(H: jax.Array) -> jax.Array:
+    L = jnp.linalg.cholesky(H)
+    eye = jnp.eye(H.shape[0], dtype=H.dtype)
+    return jax.scipy.linalg.cho_solve((L, True), eye)
+
+
+def damped_inverse(
+    H: jax.Array,
+    percdamp: float = 0.01,
+    max_retries: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Damp and invert a normalized Hessian.
+
+    Returns (H_damped, H_inv). Damping starts at ``percdamp * mean(diag(H))``
+    (ref main.py:131-133) and escalates x10 whenever the Cholesky inverse
+    comes back non-finite (TPU fp32 has no fp64 headroom; see SURVEY.md §7
+    "hard parts"). Final fallback is pinv (ref main.py:141).
+    """
+    H = H.astype(jnp.float32)
+    mean_diag = jnp.mean(jnp.diag(H))
+    damp = percdamp * mean_diag
+    eye = jnp.eye(H.shape[0], dtype=jnp.float32)
+
+    for _ in range(max_retries):
+        Hd = H + damp * eye
+        Hinv = _cholesky_inverse(Hd)
+        if bool(np.isfinite(jax.device_get(Hinv[0, 0]))) and bool(
+            jax.device_get(jnp.all(jnp.isfinite(Hinv)))
+        ):
+            return Hd, Hinv
+        damp = damp * 10.0
+    Hd = H + damp * eye
+    return Hd, jnp.linalg.pinv(Hd)
