@@ -1,0 +1,134 @@
+"""Fused 2-bit dequant + matmul Pallas TPU kernel.
+
+The hot op of the whole framework: streams packed ternary planes
+(0.25 B/weight) and bf16 per-block scales from HBM, unpacks to codes in
+VMEM with two-bit shifts, and feeds the MXU — the dequantized weight matrix
+never exists in HBM. Replaces the reference's materialize-then-matmul
+``TernaryLinear.forward`` (ref model.py:75-110).
+
+Structure (learned from on-chip profiling — small tiles were per-step
+overhead-bound at ~14 GB/s effective):
+
+  * grid = (n / tile_n, nb / bps): each step covers ``bps`` 128-column scale
+    blocks x ``tile_n`` output features, so DMAs are hundreds of KB and the
+    j-sweep revisits a VMEM-resident f32 accumulator tile.
+  * Inside a step the ``bps`` sub-blocks unroll as *static* slices (Mosaic
+    cannot prove alignment of dynamic single-row slices), each doing:
+    widen int8->int32 (no i8 vector shifts on TPU), 4x shift+mask on the
+    quarter-size packed tile, concat planes along sublanes (the
+    plane-interleaved pack layout makes this reproduce column order),
+    scale by alpha in bf16, one (B,128)x(128,tile_n) MXU dot, plus the
+    rank-1 mu correction from the block sum of x.
+
+Accumulation is f32 in the output tile; codes x alpha are exact in bf16
+({-a, 0, +a}).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["ternary_matmul_pallas"]
+
+
+def _make_kernel(bps: int, bs: int):
+    bs4 = bs // 4
+
+    def _kernel(x_ref, packed_ref, alpha_ref, mu_ref, o_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        acc = jnp.zeros_like(o_ref)
+        for p in range(bps):  # static unroll; all slices compile-time aligned
+            pk = packed_ref[p * bs4 : (p + 1) * bs4, :].astype(jnp.int32)
+            planes = [((pk >> (2 * q)) & 3) for q in range(4)]
+            t = jnp.concatenate(planes, axis=0) - 1  # (bs, TN) in {-1,0,1}
+            a_row = alpha_ref[p : p + 1, :].astype(cdt)  # (1, TN)
+            m_row = mu_ref[p : p + 1, :].astype(cdt)
+            # Full dequant tile alpha*T + mu via sublane broadcast — folding
+            # mu into the MXU operand instead of a separate rank-1 term:
+            # an in-kernel (B,1) lane-reduce + lane-broadcast for
+            # sum(x_block)*mu measured ~300x slower (28 ms vs 95 us).
+            tw = t.astype(cdt) * a_row + m_row  # (bs, TN)
+            xb = x_ref[:, p * bs : (p + 1) * bs]  # (B, bs)
+            acc += jnp.dot(
+                xb.astype(cdt), tw, preferred_element_type=jnp.float32
+            )
+        o_ref[:] += acc
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "tile_n", "blocks_per_step")
+)
+def ternary_matmul_pallas(
+    x: jax.Array,
+    packed: jax.Array,
+    alpha: jax.Array,
+    mu: jax.Array,
+    *,
+    block_size: int = 128,
+    tile_n: int = 2048,
+    blocks_per_step: int = 8,
+) -> jax.Array:
+    """out = x @ dequant(packed, alpha, mu); (B, K) x (K//4, n) -> (B, n) f32.
+
+    Constraints (asserted): block_size % 128 == 0, K % block_size == 0,
+    n % 128 == 0. B is padded to the bf16 sublane tile (16) internally.
+    tile_n / blocks_per_step are clamped to divisors of n / nb.
+    """
+    K4, n = packed.shape
+    K = K4 * 4
+    nb, n2 = alpha.shape
+    bs = block_size
+    if bs % 128 != 0 or K % bs != 0 or nb * bs != K or n2 != n:
+        raise ValueError(
+            f"bad shapes: packed {packed.shape}, alpha {alpha.shape}, bs {bs}"
+        )
+    if n % 128 != 0:
+        raise ValueError(f"out_features {n} must be a multiple of 128")
+    tn = min(tile_n, n)
+    while n % tn != 0:  # largest 128-aligned divisor of n below tile_n
+        tn -= 128
+    bps = min(blocks_per_step, nb)
+    while nb % bps != 0:
+        bps -= 1
+    bs4 = bs // 4
+
+    B = x.shape[0]
+    Bp = max(16, -(-B // 16) * 16)  # bf16 sublane tile
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+    x = x.astype(jnp.bfloat16)
+
+    grid = (n // tn, nb // bps)
+    out = pl.pallas_call(
+        _make_kernel(bps, bs),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bp, bps * bs), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bps * bs4, tn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bps, tn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bps, tn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (Bp, tn), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * K * n,
+            bytes_accessed=K4 * n + Bp * K * 2 * (n // tn) + 2 * nb * n * 2 + Bp * n * 4,
+            transcendentals=0,
+        ),
+    )(x, packed, alpha, mu)
+    return out[:B]

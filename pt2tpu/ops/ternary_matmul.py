@@ -1,0 +1,185 @@
+"""Packed ternary matmul — XLA reference implementation + dispatch wrapper.
+
+This is the inference primitive the reference lacks entirely: its
+``TernaryLinear.forward`` re-materializes the full fp16 weight matrix on
+every call and then runs a dense matmul (ref model.py:75-110 — SURVEY.md
+§3.5 flags it as the #1 perf sin). Here the weights stay packed as 2-bit
+planes in HBM and the matmul consumes them directly:
+
+    out[b, j] = sum_k  alpha[blk(k), j] * T[k, j] * x[b, perm[k]]
+              + sum_blk mu[blk, j] * sum_{k in blk} x[b, perm[k]]
+
+i.e. per 128-column scale block: one (B,128)x(128,N) MXU matmul against the
+unpacked codes plus a rank-1 offset term — the full dequantized matrix is
+never formed. Two implementations share this contract:
+
+  * ``ternary_matmul_xla``   — pure jnp (einsum) reference; runs anywhere.
+  * ``ternary_matmul_pallas``— fused Pallas TPU kernel
+    (ops/kernels/pallas_ternary.py) that unpacks 2-bit planes in VMEM and
+    streams only 0.25 B/weight + bf16 scales from HBM.
+
+Input-permutation contract: GPTQ emits codes in SSR visit order with
+``perm[k]`` = original column (quant/gptq.py). The activation gather
+``x[..., perm]`` happens once per layer on the (small) activation, never on
+the weights — pad lanes point at a zero slot (index m), so the mu-offset
+term is exact even for ragged layers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.packing import unpack_ternary
+from ..quant.gptq import TernaryLayerQuant
+
+__all__ = [
+    "PackedTernaryLinear",
+    "pack_layer",
+    "apply_input_perm",
+    "ternary_matmul_xla",
+    "ternary_linear_apply",
+]
+
+
+class PackedTernaryLinear(NamedTuple):
+    """Inference-time packed parameters for one ternarized linear layer.
+
+    Shapes (K = num_blocks * block_size lanes in visit order):
+      packed: (K // 4, n) int8 2-bit planes (core/packing.py layout)
+      alpha:  (nb, n) scale per (block, out_feature)  — note transposed vs
+              the quant-time (n, nb) so the kernel reads (1, N) rows
+      mu:     (nb, n) offset per (block, out_feature)
+      perm:   (K,) int32 visit-lane -> original in_feature; pad lanes -> m
+      bias:   (n,) or None
+    """
+
+    packed: jax.Array
+    alpha: jax.Array
+    mu: jax.Array
+    perm: jax.Array
+    bias: Optional[jax.Array]
+    in_features: int  # static: original m (pre-padding)
+
+    @property
+    def block_size(self) -> int:
+        return (self.packed.shape[0] * 4) // self.alpha.shape[0]
+
+    @property
+    def out_features(self) -> int:
+        return self.packed.shape[1]
+
+
+def pack_layer(
+    q: TernaryLayerQuant,
+    in_features: int,
+    bias: Optional[jax.Array] = None,
+    scale_dtype=jnp.bfloat16,
+) -> PackedTernaryLinear:
+    """Freeze a quant-engine result into the packed inference layout.
+
+    Invalid lanes already carry T == 0 and perm == m (quant/gptq.py), so no
+    masking is needed here: T=0 kills the alpha term and perm==m routes the
+    mu-offset gather to the zero-padded activation slot.
+    """
+    from ..core.packing import pack_ternary
+
+    bs = q.block_size
+    packed = pack_ternary(q.T, block_size=bs)
+    return PackedTernaryLinear(
+        packed=packed,
+        alpha=q.alpha.T.astype(scale_dtype),
+        mu=q.mu.T.astype(scale_dtype),
+        perm=q.perm.astype(jnp.int32),
+        bias=None if bias is None else bias,
+        in_features=in_features,
+    )
+
+
+def apply_input_perm(x: jax.Array, perm: jax.Array, in_features: int) -> jax.Array:
+    """Gather activations into visit-lane order: (..., m) -> (..., K).
+
+    A zero column is appended at index m so pad lanes (perm == m) read 0 —
+    this keeps the per-block mu * sum(x_block) term exact on ragged layers.
+    """
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, 1)]
+    x_pad = jnp.pad(x, pad)
+    return jnp.take(x_pad, perm, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def ternary_matmul_xla(
+    x: jax.Array,
+    packed: jax.Array,
+    alpha: jax.Array,
+    mu: jax.Array,
+    *,
+    block_size: int = 128,
+) -> jax.Array:
+    """XLA reference: out = x @ (alpha ∘ T + mu broadcast), blockwise.
+
+    Args:
+      x:      (B, K) activations already in visit-lane order.
+      packed: (K//4, n) int8 planes.
+      alpha/mu: (nb, n).
+
+    Returns (B, n) in float32.
+    """
+    K4, n = packed.shape
+    K = K4 * 4
+    nb = K // block_size
+    B = x.shape[0]
+
+    # bf16 feeds the MXU on TPU; CPU XLA lacks bf16xbf16->f32 dots, so fall
+    # back to f32 there (tests run on the virtual CPU mesh).
+    cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    T = unpack_ternary(packed, block_size=block_size)  # (K, n) int8
+    Tb = T.reshape(nb, block_size, n).astype(cdt)
+    xb = x.reshape(B, nb, block_size).astype(cdt)
+
+    # Per-block code matmul on the MXU, then scale application.
+    t = jnp.einsum("bkc,kcn->bkn", xb, Tb, preferred_element_type=jnp.float32)
+    s = jnp.sum(xb.astype(jnp.float32), axis=2)  # (B, nb)
+    out = jnp.einsum("bkn,kn->bn", t, alpha.astype(jnp.float32))
+    out = out + jnp.einsum("bk,kn->bn", s, mu.astype(jnp.float32))
+    return out
+
+
+def ternary_linear_apply(
+    p: PackedTernaryLinear,
+    x: jax.Array,
+    impl: str = "auto",
+    out_dtype=None,
+) -> jax.Array:
+    """Full layer: perm gather -> packed matmul -> bias. (..., m) -> (..., n).
+
+    impl: "xla", "pallas", or "auto" (pallas on TPU when shapes qualify).
+    """
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    m = x.shape[-1]
+    if m != p.in_features:
+        raise ValueError(f"input features {m} != layer in_features {p.in_features}")
+    x2 = x.reshape(-1, m)
+    xk = apply_input_perm(x2, p.perm, m)  # (B, K)
+
+    bs = p.block_size
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and jax.default_backend() == "tpu"
+        and bs % 128 == 0
+        and p.out_features % 128 == 0
+    )
+    if use_pallas:
+        from .kernels.pallas_ternary import ternary_matmul_pallas
+
+        out = ternary_matmul_pallas(xk, p.packed, p.alpha, p.mu, block_size=bs)
+    else:
+        out = ternary_matmul_xla(xk, p.packed, p.alpha, p.mu, block_size=bs)
+
+    if p.bias is not None:
+        out = out + p.bias.astype(out.dtype)
+    return out.astype(out_dtype).reshape(*lead, p.out_features)

@@ -1,0 +1,103 @@
+"""Tests for the packed ternary matmul: XLA reference vs explicit dequant,
+Pallas kernel (interpret mode on CPU) vs XLA reference, and the full
+layer wrapper including perm gather + ragged pad lanes."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import oracle
+from pt2tpu.core import packing
+from pt2tpu.ops import ternary_matmul as tm
+from pt2tpu.ops.kernels.pallas_ternary import ternary_matmul_pallas
+from pt2tpu.quant import gptq, hessian
+
+
+def _rand_packed(rng, n=256, K=256, bs=128, scale_dtype=jnp.float32):
+    T = rng.integers(-1, 2, size=(n, K)).astype(np.int8)
+    nb = K // bs
+    alpha = rng.normal(0.05, 0.01, size=(nb, n)).astype(np.float32)
+    mu = rng.normal(0.0, 0.01, size=(nb, n)).astype(np.float32)
+    packed = packing.pack_ternary(jnp.asarray(T), block_size=bs)
+    return T, packed, jnp.asarray(alpha, scale_dtype), jnp.asarray(mu, scale_dtype)
+
+
+def _dense_ref(T, alpha, mu, bs):
+    """Explicitly dequantized (K, n) weight for ground truth."""
+    n, K = T.shape
+    nb = K // bs
+    alpha_e = np.repeat(np.asarray(alpha, np.float32), bs, axis=0)  # (K, n)
+    mu_e = np.repeat(np.asarray(mu, np.float32), bs, axis=0)
+    return alpha_e * T.T.astype(np.float32) + mu_e  # (K, n)
+
+
+def test_xla_matmul_matches_dense(rng):
+    T, packed, alpha, mu = _rand_packed(rng)
+    x = rng.normal(size=(4, 256)).astype(np.float32)
+    W = _dense_ref(T, alpha, mu, 128)
+    want = x @ W
+    got = np.asarray(tm.ternary_matmul_xla(jnp.asarray(x), packed, alpha, mu))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)  # bf16 matmul
+
+
+def test_pallas_interpret_matches_xla(rng):
+    T, packed, alpha, mu = _rand_packed(rng, n=256, K=384)
+    x = jnp.asarray(rng.normal(size=(8, 384)).astype(np.float32))
+    want = tm.ternary_matmul_xla(x, packed, alpha, mu)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        got = ternary_matmul_pallas(x, packed, alpha, mu, tile_n=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=1e-2)
+
+
+def test_pallas_shape_validation(rng):
+    _, packed, alpha, mu = _rand_packed(rng)
+    with pytest.raises(ValueError):
+        ternary_matmul_pallas(jnp.zeros((2, 256)), packed, alpha[:1], mu)
+
+
+def test_layer_apply_end_to_end(rng):
+    """quantize -> pack_layer -> ternary_linear_apply must equal
+    x @ dequantize_layer(q).T + b for a ragged (m % bs != 0) layer."""
+    n, m = 128, 200  # ragged: 2 blocks of 128 lanes, 56 pad lanes
+    W = rng.normal(0.02, 1.0, size=(n, m)).astype(np.float32)
+    X = rng.normal(size=(512, m)).astype(np.float32)
+    H = jnp.asarray(X.T @ X / 512)
+    _, Hinv = hessian.damped_inverse(H)
+    q = gptq.ternary_gptq(jnp.asarray(W), H, Hinv, block_size=128)
+    W_hat = np.asarray(gptq.dequantize_layer(q, m))  # (n, m) original order
+
+    bias = rng.normal(size=(n,)).astype(np.float32)
+    p = tm.pack_layer(q, in_features=m, bias=jnp.asarray(bias), scale_dtype=jnp.float32)
+
+    x = rng.normal(size=(3, 5, m)).astype(np.float32)
+    want = x @ W_hat.T + bias
+    got = np.asarray(tm.ternary_linear_apply(p, jnp.asarray(x), impl="xla", out_dtype=jnp.float32))
+    assert got.shape == (3, 5, n)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_layer_apply_rejects_wrong_features(rng):
+    _, packed, alpha, mu = _rand_packed(rng)
+    p = tm.PackedTernaryLinear(
+        packed=packed, alpha=alpha, mu=mu,
+        perm=jnp.arange(256, dtype=jnp.int32), bias=None, in_features=256,
+    )
+    with pytest.raises(ValueError):
+        tm.ternary_linear_apply(p, jnp.zeros((2, 100)))
+
+
+def test_scale_dtype_bf16_quality(rng):
+    """bf16 scales must stay within ~1% of f32 scales on the matmul output."""
+    T, packed, alpha, mu = _rand_packed(rng)
+    x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+    out32 = np.asarray(tm.ternary_matmul_xla(x, packed, alpha, mu))
+    out16 = np.asarray(
+        tm.ternary_matmul_xla(
+            x, packed, alpha.astype(jnp.bfloat16), mu.astype(jnp.bfloat16)
+        )
+    )
+    denom = np.maximum(np.abs(out32), 1e-2)
+    assert np.median(np.abs(out16 - out32) / denom) < 0.02
