@@ -13,6 +13,7 @@ re-exports 9 names) with TPU-native equivalents.
 
 from .core.ternary import (
     ATQResult,
+    aga_exact,
     atq_quantize,
     dequantize,
     output_error,
@@ -38,6 +39,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "ATQResult",
+    "aga_exact",
     "atq_quantize",
     "dequantize",
     "quantization_error",

@@ -1,0 +1,143 @@
+"""Shared functional building blocks for the JAX model zoo.
+
+The reference rides on HuggingFace ``transformers`` for the model runtime
+(ref model.py:228-264) and discovers ``nn.Linear`` modules to hook/replace
+(ref model.py:130-171). Here models are our own pure-functional JAX code, so
+"layer discovery" is structural: every projection is a :class:`DenseLinear`
+or :class:`TernaryLinear` pytree node and quantization is a pytree
+transformation — no hooks, no monkey-patching (SURVEY.md §7 layer 4).
+
+``TernaryLinear`` (the inference container) lives in ops/ternary_matmul as
+``PackedTernaryLinear``; this module registers both containers as pytrees so
+model params jit/shard transparently, with static metadata in aux_data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.ternary_matmul import PackedTernaryLinear, ternary_linear_apply
+
+__all__ = [
+    "DenseLinear",
+    "apply_linear",
+    "rms_norm",
+    "layer_norm",
+    "rope_tables",
+    "apply_rope",
+    "causal_mask",
+    "attention",
+]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DenseLinear:
+    """Plain (out, in) linear weights. ``y = x @ w.T + b``."""
+
+    w: jax.Array  # (out_features, in_features)
+    b: Optional[jax.Array] = None  # (out_features,)
+
+    def tree_flatten(self):
+        return (self.w, self.b), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def in_features(self) -> int:
+        return self.w.shape[1]
+
+    @property
+    def out_features(self) -> int:
+        return self.w.shape[0]
+
+
+def apply_linear(lin: Any, x: jax.Array, impl: str = "auto") -> jax.Array:
+    """Dispatch on the linear container type (static under jit)."""
+    if isinstance(lin, PackedTernaryLinear):
+        return ternary_linear_apply(lin, x, impl=impl)
+    y = x @ lin.w.T.astype(x.dtype)
+    if lin.b is not None:
+        y = y + lin.b.astype(x.dtype)
+    return y
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(dt) * weight.astype(dt)
+
+
+def layer_norm(
+    x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float = 1e-5
+) -> jax.Array:
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return y.astype(dt) * weight.astype(dt) + bias.astype(dt)
+
+
+def rope_tables(head_dim: int, max_len: int, theta: float = 10000.0):
+    """Precompute RoPE cos/sin tables: (max_len, head_dim // 2) each, f32."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    t = jnp.arange(max_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)  # (max_len, hd/2)
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate (B, L, H, hd) queries/keys; cos/sin are (L, hd/2) (pre-sliced
+    to the positions of this call). Half-split convention (HF Llama)."""
+    hd = x.shape[-1]
+    x1, x2 = x[..., : hd // 2], x[..., hd // 2 :]
+    c = cos[None, :, None, :].astype(x.dtype)
+    s = sin[None, :, None, :].astype(x.dtype)
+    return jnp.concatenate((x1 * c - x2 * s, x2 * c + x1 * s), axis=-1)
+
+
+def causal_mask(q_len: int, kv_len: int, q_offset: int = 0) -> jax.Array:
+    """(q_len, kv_len) additive mask: 0 where kv position <= query position."""
+    q_pos = q_offset + jnp.arange(q_len)[:, None]
+    kv_pos = jnp.arange(kv_len)[None, :]
+    return jnp.where(kv_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
+
+
+def attention(
+    q: jax.Array,  # (B, Lq, H, hd)
+    k: jax.Array,  # (B, Lkv, Hkv, hd)
+    v: jax.Array,  # (B, Lkv, Hkv, hd)
+    mask: Optional[jax.Array] = None,  # (Lq, Lkv) additive, or None
+    kv_valid: Optional[jax.Array] = None,  # (B, Lkv) bool for cache slots
+) -> jax.Array:
+    """Grouped-query scaled dot-product attention; returns (B, Lq, H, hd).
+
+    f32 softmax accumulation; GQA expands kv heads by repetition (an einsum
+    reshape, so XLA keeps it as one batched matmul on the MXU).
+    """
+    B, Lq, H, hd = q.shape
+    Hkv = k.shape[2]
+    rep = H // Hkv
+    qg = q.reshape(B, Lq, Hkv, rep, hd)
+
+    scores = jnp.einsum(
+        "blhrd,bmhd->bhrlm", qg, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(hd))
+    if mask is not None:
+        scores = scores + mask[None, None, None, :, :]
+    if kv_valid is not None:
+        neg = jnp.finfo(jnp.float32).min
+        scores = jnp.where(kv_valid[:, None, None, None, :], scores, neg)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhrlm,bmhd->blhrd", probs, v)
+    return out.reshape(B, Lq, H, hd)

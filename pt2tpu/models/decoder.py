@@ -1,0 +1,321 @@
+"""Unified functional decoder-only transformer (Llama / Qwen / OPT / GPT-2…).
+
+One parameterized implementation replaces the reference's per-architecture
+HuggingFace dispatch (ref model.py:139-159 walks ``model.model.layers`` /
+``model.model.decoder.layers`` / ``transformer.h`` by family). Family
+differences are config switches (norm type, position encoding, gated vs
+plain MLP, biases, activation), so every family shares one quantization
+recipe, one serving path, one sharding rule set.
+
+Design points (TPU-first):
+
+  * Layer parameters are **stacked** along a leading ``n_layers`` axis and
+    the forward is a ``lax.scan`` over them — one compiled layer body
+    regardless of depth (compile time through the axon tunnel is ~30 s per
+    program; a 32-layer unrolled graph would be minutes).
+  * Activation taps (the inputs the reference captures with forward hooks,
+    ref main.py:261-287) are explicit outputs of ``layer_forward`` — the
+    calibration driver slices one layer's params and asks for taps, no
+    mutation or hooks anywhere.
+  * Quantization is a pytree transformation: any :class:`DenseLinear` leaf
+    can be replaced by a :class:`PackedTernaryLinear`; the forward dispatches
+    structurally (models/common.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .common import (
+    DenseLinear,
+    apply_linear,
+    apply_rope,
+    attention,
+    causal_mask,
+    layer_norm,
+    rms_norm,
+    rope_tables,
+)
+
+__all__ = [
+    "ModelConfig",
+    "init_params",
+    "forward",
+    "layer_forward",
+    "layer_slice",
+    "stack_layers",
+    "num_layer_linears",
+    "LINEAR_NAMES",
+    "TAP_OF_LINEAR",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters spanning the supported families."""
+
+    family: str  # "llama" | "llama2" | "llama3" | "qwen" | "opt" | "gpt2" | ...
+    vocab_size: int
+    dim: int
+    n_layers: int
+    n_heads: int
+    intermediate: int
+    n_kv_heads: Optional[int] = None  # None -> n_heads (MHA)
+    head_dim: Optional[int] = None  # None -> dim // n_heads
+    max_seq_len: int = 2048
+    norm: str = "rmsnorm"  # "rmsnorm" | "layernorm"
+    norm_eps: float = 1e-5
+    pos: str = "rope"  # "rope" | "learned"
+    rope_theta: float = 10000.0
+    pos_offset: int = 0  # OPT's learned-position offset (2)
+    act: str = "silu"  # "silu" | "gelu" | "relu"
+    gated_mlp: bool = True  # SwiGLU-style gate*up vs plain fc
+    linear_bias: bool = False  # biases on q/k/v/o/mlp projections
+    qkv_bias: bool = False  # qwen-style: bias on q/k/v only
+    tie_embeddings: bool = False
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads or self.n_heads
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.dim // self.n_heads
+
+    def with_(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# The seven quantizable projections per decoder layer (reference layer set:
+# find_linear_layers over one transformer layer yields q/k/v/o + mlp projs,
+# ref main.py:272). Maps linear name -> tap name whose activations feed it.
+LINEAR_NAMES = ("q", "k", "v", "o", "gate", "up", "down")
+TAP_OF_LINEAR = {
+    "q": "attn_in",
+    "k": "attn_in",
+    "v": "attn_in",
+    "o": "o_in",
+    "gate": "mlp_in",
+    "up": "mlp_in",
+    "down": "down_in",
+}
+
+
+def num_layer_linears(cfg: ModelConfig) -> int:
+    return 7 if cfg.gated_mlp else 6
+
+
+def _act(cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    if cfg.act == "silu":
+        return jax.nn.silu(x)
+    if cfg.act == "gelu":
+        return jax.nn.gelu(x)
+    if cfg.act == "relu":
+        return jax.nn.relu(x)
+    raise ValueError(f"unknown activation {cfg.act}")
+
+
+def _norm(cfg: ModelConfig, x, w, b):
+    if cfg.norm == "rmsnorm":
+        return rms_norm(x, w, cfg.norm_eps)
+    return layer_norm(x, w, b, cfg.norm_eps)
+
+
+# ------------------------------------------------------------ params ----
+def _init_linear(key, n_out, n_in, bias, dtype, scale=None):
+    scale = scale if scale is not None else 1.0 / math.sqrt(n_in)
+    w = jax.random.normal(key, (n_out, n_in), dtype=jnp.float32) * scale
+    b = jnp.zeros((n_out,), jnp.float32) if bias else None
+    return DenseLinear(
+        w=w.astype(dtype), b=None if b is None else b.astype(dtype)
+    )
+
+
+def _init_layer(cfg: ModelConfig, key, dtype):
+    D, I = cfg.dim, cfg.intermediate
+    H, Hkv, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
+    keys = jax.random.split(key, 8)
+    ln_b = jnp.zeros((D,), dtype) if cfg.norm == "layernorm" else None
+    qb = cfg.linear_bias or cfg.qkv_bias
+    layer = {
+        "ln1_w": jnp.ones((D,), dtype),
+        "ln1_b": ln_b,
+        "q": _init_linear(keys[0], H * hd, D, qb, dtype),
+        "k": _init_linear(keys[1], Hkv * hd, D, qb, dtype),
+        "v": _init_linear(keys[2], Hkv * hd, D, qb, dtype),
+        "o": _init_linear(keys[3], D, H * hd, cfg.linear_bias, dtype),
+        "ln2_w": jnp.ones((D,), dtype),
+        "ln2_b": ln_b,
+        "up": _init_linear(keys[5], I, D, cfg.linear_bias, dtype),
+        "down": _init_linear(keys[6], D, I, cfg.linear_bias, dtype),
+    }
+    layer["gate"] = (
+        _init_linear(keys[4], I, D, cfg.linear_bias, dtype)
+        if cfg.gated_mlp
+        else None
+    )
+    return layer
+
+
+def stack_layers(layers):
+    """List of per-layer pytrees -> one pytree with leading n_layers axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def layer_slice(stacked, i: int):
+    """Extract layer i's pytree from the stacked representation."""
+    return jax.tree_util.tree_map(lambda x: x[i], stacked)
+
+
+def set_layer(stacked, i: int, layer):
+    """Return stacked params with layer i replaced (pure)."""
+    return jax.tree_util.tree_map(lambda s, l: s.at[i].set(l), stacked, layer)
+
+
+def init_params(cfg: ModelConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
+    keys = jax.random.split(key, cfg.n_layers + 3)
+    layers = [_init_layer(cfg, keys[i], dtype) for i in range(cfg.n_layers)]
+    ln_b = jnp.zeros((cfg.dim,), dtype) if cfg.norm == "layernorm" else None
+    params = {
+        "embed": jax.random.normal(keys[-1], (cfg.vocab_size, cfg.dim)).astype(dtype)
+        * 0.02,
+        "pos_embed": (
+            jax.random.normal(
+                keys[-2], (cfg.max_seq_len + cfg.pos_offset, cfg.dim)
+            ).astype(dtype)
+            * 0.02
+            if cfg.pos == "learned"
+            else None
+        ),
+        "layers": stack_layers(layers),
+        "lnf_w": jnp.ones((cfg.dim,), dtype),
+        "lnf_b": ln_b,
+        "lm_head": (
+            None
+            if cfg.tie_embeddings
+            else _init_linear(keys[-3], cfg.vocab_size, cfg.dim, False, dtype)
+        ),
+    }
+    return params
+
+
+# ----------------------------------------------------------- forward ----
+def embed_tokens(
+    cfg: ModelConfig, params, tokens: jax.Array, pos0: int | jax.Array = 0
+) -> jax.Array:
+    """(B, L) ids -> (B, L, D) hidden, including learned positions if any."""
+    h = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.pos == "learned":
+        L = tokens.shape[1]
+        pos = pos0 + jnp.arange(L) + cfg.pos_offset
+        h = h + jnp.take(params["pos_embed"], pos, axis=0)[None]
+    return h
+
+
+class LayerIO(NamedTuple):
+    """Per-layer auxiliary outputs."""
+
+    kv: Optional[Tuple[jax.Array, jax.Array]]  # updated (k, v) cache slices
+    taps: Optional[Dict[str, jax.Array]]  # linear-input activations
+
+
+def layer_forward(
+    cfg: ModelConfig,
+    lp: Dict[str, Any],
+    x: jax.Array,  # (B, L, D)
+    cos: jax.Array,  # (L, hd/2) rope tables for these positions (rope only)
+    sin: jax.Array,
+    mask: Optional[jax.Array],  # (L, Lkv) additive
+    kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,  # (B, M, Hkv, hd)
+    cache_pos: Optional[jax.Array] = None,  # scalar write offset
+    kv_valid: Optional[jax.Array] = None,  # (B, M) bool
+    return_taps: bool = False,
+    impl: str = "auto",
+) -> Tuple[jax.Array, LayerIO]:
+    """One decoder layer. Returns (output hidden, LayerIO).
+
+    With ``kv_cache`` given, new k/v are written at ``cache_pos`` and
+    attention runs against the full cache (decode/prefill path); otherwise
+    attention is over the local sequence (calibration/eval path).
+    """
+    B, L, D = x.shape
+    H, Hkv, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
+    taps: Dict[str, jax.Array] = {}
+
+    h = _norm(cfg, x, lp["ln1_w"], lp["ln1_b"])
+    if return_taps:
+        taps["attn_in"] = h
+    q = apply_linear(lp["q"], h, impl).reshape(B, L, H, hd)
+    k = apply_linear(lp["k"], h, impl).reshape(B, L, Hkv, hd)
+    v = apply_linear(lp["v"], h, impl).reshape(B, L, Hkv, hd)
+    if cfg.pos == "rope":
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    if kv_cache is not None:
+        ck, cv = kv_cache
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
+        ctx = attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, kv_valid)
+        new_kv = (ck, cv)
+    else:
+        ctx = attention(q, k, v, mask)
+        new_kv = None
+
+    ctx = ctx.reshape(B, L, H * hd)
+    if return_taps:
+        taps["o_in"] = ctx
+    x = x + apply_linear(lp["o"], ctx, impl)
+
+    h = _norm(cfg, x, lp["ln2_w"], lp["ln2_b"])
+    if return_taps:
+        taps["mlp_in"] = h
+    if cfg.gated_mlp:
+        g = _act(cfg, apply_linear(lp["gate"], h, impl))
+        u = apply_linear(lp["up"], h, impl)
+        mid = g * u
+    else:
+        mid = _act(cfg, apply_linear(lp["up"], h, impl))
+    if return_taps:
+        taps["down_in"] = mid
+    x = x + apply_linear(lp["down"], mid, impl)
+
+    return x, LayerIO(kv=new_kv, taps=taps if return_taps else None)
+
+
+def unembed(cfg: ModelConfig, params, h: jax.Array) -> jax.Array:
+    h = _norm(cfg, h, params["lnf_w"], params["lnf_b"])
+    if params["lm_head"] is not None:
+        return apply_linear(params["lm_head"], h)
+    return h @ params["embed"].T.astype(h.dtype)
+
+
+def forward(
+    cfg: ModelConfig,
+    params,
+    tokens: jax.Array,  # (B, L) int32
+    impl: str = "auto",
+) -> jax.Array:
+    """Full causal forward to logits (B, L, V) — eval/perplexity path.
+
+    ``lax.scan`` over the stacked layer parameters: one compiled layer body.
+    """
+    B, L = tokens.shape
+    h = embed_tokens(cfg, params, tokens)
+    mask = causal_mask(L, L)
+    if cfg.pos == "rope":
+        cos, sin = rope_tables(cfg.hd, L, cfg.rope_theta)
+    else:
+        cos = sin = jnp.zeros((L, 1), jnp.float32)
+
+    def body(x, lp):
+        y, _ = layer_forward(cfg, lp, x, cos, sin, mask, impl=impl)
+        return y, None
+
+    h, _ = jax.lax.scan(body, h, params["layers"])
+    return unembed(cfg, params, h)

@@ -1,0 +1,132 @@
+"""Model registry: family inference and canonical architecture configs.
+
+Mirrors the reference's name-based dispatch (``get_model_type``,
+ref model.py:267-290) and extends it with full architecture configs so
+models can be built without HuggingFace (random init for tests/benchmarks,
+or weights loaded from local safetensors via models/hf_loader.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from .decoder import ModelConfig
+
+__all__ = ["get_model_type", "get_config", "register_config", "CONFIGS"]
+
+
+def get_model_type(model_name: str) -> str:
+    """Infer model family from a name (ref model.py:267-290 semantics)."""
+    s = model_name.lower()
+    if "gemma-3" in s or "gemma3" in s:
+        return "gemma3"
+    if "gemma" in s:
+        return "gemma"
+    if "llama-3" in s or "llama3" in s:
+        return "llama3"
+    if "llama-2" in s or "llama2" in s:
+        return "llama2"
+    if "llama" in s:
+        return "llama"
+    if "qwen3" in s:
+        return "qwen3"
+    if "qwen" in s:
+        return "qwen"
+    if "opt" in s:
+        return "opt"
+    if "bloom" in s:
+        return "bloom"
+    if "gpt2" in s or "gpt-2" in s:
+        return "gpt2"
+    return "llama"  # reference default (model.py:290)
+
+
+def _llama(name, dim, n_layers, n_heads, inter, n_kv=None, vocab=32000, **kw):
+    return ModelConfig(
+        family=name,
+        vocab_size=vocab,
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=n_kv,
+        intermediate=inter,
+        norm="rmsnorm",
+        pos="rope",
+        act="silu",
+        gated_mlp=True,
+        **kw,
+    )
+
+
+def _opt(dim, n_layers, n_heads, inter, vocab=50272, **kw):
+    return ModelConfig(
+        family="opt",
+        vocab_size=vocab,
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        intermediate=inter,
+        norm="layernorm",
+        pos="learned",
+        pos_offset=2,
+        act="relu",
+        gated_mlp=False,
+        linear_bias=True,
+        **kw,
+    )
+
+
+def _gpt2(dim, n_layers, n_heads, vocab=50257, **kw):
+    kw.setdefault("max_seq_len", 1024)
+    return ModelConfig(
+        family="gpt2",
+        vocab_size=vocab,
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        intermediate=4 * dim,
+        norm="layernorm",
+        pos="learned",
+        act="gelu",
+        gated_mlp=False,
+        linear_bias=True,
+        tie_embeddings=True,
+        **kw,
+    )
+
+
+CONFIGS: Dict[str, ModelConfig] = {
+    # BASELINE.json configs 1-5
+    "opt-125m": _opt(768, 12, 12, 3072),
+    "opt-1.3b": _opt(2048, 24, 32, 8192),
+    "gpt2-xl": _gpt2(1600, 48, 25),
+    "llama-2-7b": _llama("llama2", 4096, 32, 32, 11008),
+    "llama-2-13b": _llama("llama2", 5120, 40, 40, 13824),
+    "llama-2-70b": _llama("llama2", 8192, 80, 64, 28672, n_kv=8),
+    "llama-3-8b": _llama(
+        "llama3", 4096, 32, 32, 14336, n_kv=8, vocab=128256, rope_theta=500000.0
+    ),
+    "qwen2-7b": _llama(
+        "qwen", 3584, 28, 28, 18944, n_kv=4, vocab=152064, qkv_bias=True,
+        rope_theta=1000000.0,
+    ),
+    # Tiny configs for tests / CI (structurally identical to the big ones)
+    "tiny-llama": _llama("llama2", 64, 2, 4, 128, vocab=256, max_seq_len=128),
+    "tiny-llama-gqa": _llama(
+        "llama2", 64, 2, 4, 128, n_kv=2, vocab=256, max_seq_len=128
+    ),
+    "tiny-opt": _opt(64, 2, 4, 128, vocab=256, max_seq_len=128),
+    "tiny-gpt2": _gpt2(64, 2, 4, vocab=256, max_seq_len=128),
+}
+
+
+def get_config(name: str) -> ModelConfig:
+    if name in CONFIGS:
+        return CONFIGS[name]
+    raise KeyError(
+        f"unknown model config '{name}'; known: {sorted(CONFIGS)}"
+    )
+
+
+def register_config(name: str, cfg: ModelConfig) -> None:
+    CONFIGS[name] = cfg

@@ -27,8 +27,9 @@ term is exact even for ragged layers.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,8 +46,15 @@ __all__ = [
 ]
 
 
-class PackedTernaryLinear(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedTernaryLinear:
     """Inference-time packed parameters for one ternarized linear layer.
+
+    Registered as a pytree (``in_features`` is static aux data) so model
+    params containing these jit/vmap/shard transparently and quantization is
+    a pure pytree transformation — the TPU-native replacement for the
+    reference's ``TernaryLinear`` nn.Module (ref model.py:17-127).
 
     Shapes (K = num_blocks * block_size lanes in visit order):
       packed: (K // 4, n) int8 2-bit planes (core/packing.py layout)
@@ -63,6 +71,15 @@ class PackedTernaryLinear(NamedTuple):
     perm: jax.Array
     bias: Optional[jax.Array]
     in_features: int  # static: original m (pre-padding)
+
+    def tree_flatten(self):
+        return (self.packed, self.alpha, self.mu, self.perm, self.bias), (
+            self.in_features,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, in_features=aux[0])
 
     @property
     def block_size(self) -> int:

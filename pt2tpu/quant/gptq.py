@@ -62,7 +62,8 @@ class TernaryLayerQuant(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_size", "use_ssr", "use_aga", "max_iter")
+    jax.jit,
+    static_argnames=("block_size", "use_ssr", "use_aga", "max_iter", "aga_mode"),
 )
 def ternary_gptq(
     W: jax.Array,
@@ -73,6 +74,7 @@ def ternary_gptq(
     use_ssr: bool = True,
     use_aga: bool = True,
     max_iter: int = 100,
+    aga_mode: str = "exact",
 ) -> TernaryLayerQuant:
     """Block-wise ternarization with Hessian error compensation.
 
@@ -116,7 +118,12 @@ def ternary_gptq(
         S_blk = H[jnp.ix_(idx, idx)] if use_aga else None
 
         res = atq_mod.atq_quantize(
-            W_blk, S_blk, mask=lane_valid, use_aga=use_aga, max_iter=max_iter
+            W_blk,
+            S_blk,
+            mask=lane_valid,
+            use_aga=use_aga,
+            max_iter=max_iter,
+            aga_mode=aga_mode,
         )
 
         W_q = res.alpha * res.T + res.mu
@@ -172,6 +179,7 @@ def quantize_layer_weights(
     use_ssr: bool = True,
     use_aga: bool = True,
     max_iter: int = 100,
+    aga_mode: str = "exact",
 ) -> TernaryLayerQuant:
     """Convenience wrapper: normalize + damp + invert the Hessian, then run
     the jitted engine. ``H_raw`` is the un-normalized sum X^T X over
@@ -186,6 +194,7 @@ def quantize_layer_weights(
         use_ssr=use_ssr,
         use_aga=use_aga,
         max_iter=max_iter,
+        aga_mode=aga_mode,
     )
 
 

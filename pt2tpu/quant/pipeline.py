@@ -1,0 +1,194 @@
+"""Model-level ternarization pipeline: sequential calibration + GPTQ.
+
+The reference's driver (``PT2LLMQuantizer.quantize``, ref main.py:232-311)
+re-runs the *full model* over all calibration samples for every transformer
+layer (O(L²) model forwards — SURVEY.md §2.4-4). This pipeline uses the
+standard sequential GPTQ scheme instead:
+
+  1. embed all calibration batches once;
+  2. per decoder layer: run just that layer with activation taps, stream
+     the taps into per-projection Hessian accumulators (quant/hessian.py),
+     quantize each projection (quant/gptq.py), pack it
+     (ops/ternary_matmul.pack_layer), then recompute the layer's outputs
+     *with the quantized weights* as the next layer's inputs — matching the
+     reference's semantics (it overwrites weights as it goes,
+     ref main.py:297-299) at O(L) total layer forwards.
+
+Per-layer quantization artifacts are journaled through ``MetricsLogger``,
+and the per-layer loop is naturally resumable (SURVEY.md §5 failure
+handling): `quantize_model` can be pointed at a partially-quantized params
+pytree and a `start_layer`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import decoder as dec
+from ..models.common import DenseLinear
+from ..ops.ternary_matmul import pack_layer
+from ..utils.metrics import MetricsLogger
+from .gptq import dequantize_layer, ternary_gptq
+from .hessian import HessianAccumulator, damped_inverse
+
+__all__ = ["QuantConfig", "quantize_model", "quantize_linear"]
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Quantization hyperparameters (reference defaults: main.py:50-60)."""
+
+    block_size: int = 128
+    percdamp: float = 0.01
+    use_ssr: bool = True
+    use_aga: bool = True
+    aga_mode: str = "exact"  # "exact" (robust, default) | "reference"
+    max_iter: int = 100
+    scale_dtype: Any = jnp.bfloat16
+    batch_size: int = 8  # calibration sequences per device batch
+    skip: Tuple[str, ...] = ()  # projection names to keep dense
+
+
+def quantize_linear(
+    lin: DenseLinear,
+    H_acc: HessianAccumulator,
+    qcfg: QuantConfig,
+):
+    """Quantize one projection from its accumulated Hessian.
+
+    Returns (PackedTernaryLinear, stats dict).
+    """
+    W = lin.w.astype(jnp.float32)
+    H = H_acc.normalized()
+    _, H_inv = damped_inverse(H, qcfg.percdamp)
+    q = ternary_gptq(
+        W,
+        H,
+        H_inv,
+        block_size=qcfg.block_size,
+        use_ssr=qcfg.use_ssr,
+        use_aga=qcfg.use_aga,
+        max_iter=qcfg.max_iter,
+        aga_mode=qcfg.aga_mode,
+    )
+    packed = pack_layer(
+        q, in_features=W.shape[1], bias=lin.b, scale_dtype=qcfg.scale_dtype
+    )
+    # Hessian-weighted relative output error: tr(dW H dW^T) / tr(W H W^T).
+    W_hat = dequantize_layer(q, W.shape[1])
+    dW = W - W_hat
+    num = jnp.einsum("ij,jk,ik->", dW, H, dW)
+    den = jnp.maximum(jnp.einsum("ij,jk,ik->", W, H, W), 1e-12)
+    stats = {
+        "rel_out_err": float(num / den),
+        "rel_w_err": float(
+            jnp.linalg.norm(dW) / jnp.maximum(jnp.linalg.norm(W), 1e-12)
+        ),
+        "nsamples": H_acc.nsamples,
+    }
+    return packed, stats
+
+
+def _tap_dims(cfg: dec.ModelConfig) -> Dict[str, int]:
+    return {
+        "attn_in": cfg.dim,
+        "o_in": cfg.n_heads * cfg.hd,
+        "mlp_in": cfg.dim,
+        "down_in": cfg.intermediate,
+    }
+
+
+def quantize_model(
+    cfg: dec.ModelConfig,
+    params: Dict[str, Any],
+    calib_tokens: jax.Array,  # (N, L) int32
+    qcfg: QuantConfig = QuantConfig(),
+    log: Optional[MetricsLogger] = None,
+    start_layer: int = 0,
+    prequantized_layers: Optional[List[Any]] = None,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Ternarize every decoder-layer projection of a model.
+
+    Embeddings, final norm and lm_head stay dense — the same scope as the
+    reference, which only quantizes linears inside transformer layers
+    (ref main.py:272, find_linear_layers over each layer).
+
+    Returns (quantized params, report dict).
+    """
+    log = log or MetricsLogger(verbose=False)
+    N, L = calib_tokens.shape
+    bs = min(qcfg.batch_size, N)
+
+    emb = jax.jit(lambda toks: dec.embed_tokens(cfg, params, toks))
+    hidden = [emb(calib_tokens[i : i + bs]) for i in range(0, N, bs)]
+
+    if cfg.pos == "rope":
+        cos, sin = dec.rope_tables(cfg.hd, L, cfg.rope_theta)
+    else:
+        cos = sin = jnp.zeros((L, 1), jnp.float32)
+    mask = dec.causal_mask(L, L)
+
+    @functools.partial(jax.jit, static_argnames=("taps",))
+    def run_layer(lp, x, taps: bool):
+        y, io = dec.layer_forward(
+            cfg, lp, x, cos, sin, mask, return_taps=taps, impl="xla"
+        )
+        return y, io.taps
+
+    linear_names = [
+        n
+        for n in dec.LINEAR_NAMES
+        if (cfg.gated_mlp or n != "gate") and n not in qcfg.skip
+    ]
+    tap_dims = _tap_dims(cfg)
+
+    new_layers: List[Any] = list(prequantized_layers or [])
+    if start_layer != len(new_layers):
+        raise ValueError(
+            f"resume mismatch: start_layer={start_layer} but "
+            f"{len(new_layers)} prequantized layers supplied"
+        )
+    # Resume: replay the already-quantized prefix so layer `start_layer`
+    # calibrates against the same inputs it would have seen in the full run.
+    for pre_lp in new_layers:
+        hidden = [run_layer(pre_lp, h, False)[0] for h in hidden]
+
+    report: Dict[str, Any] = {"layers": []}
+
+    for li in range(start_layer, cfg.n_layers):
+        lp = dec.layer_slice(params["layers"], li)
+
+        needed_taps = {dec.TAP_OF_LINEAR[n] for n in linear_names}
+        accs = {t: HessianAccumulator(tap_dims[t]) for t in needed_taps}
+        for h in hidden:
+            _, taps = run_layer(lp, h, True)
+            for t in needed_taps:
+                accs[t].update(taps[t])
+
+        new_lp = dict(lp)
+        layer_report = {}
+        for name in linear_names:
+            packed, stats = quantize_linear(
+                lp[name], accs[dec.TAP_OF_LINEAR[name]], qcfg
+            )
+            new_lp[name] = packed
+            layer_report[name] = stats
+            log.emit("layer_quantized", layer=li, proj=name, **stats)
+        report["layers"].append(layer_report)
+
+        # Propagate quantized outputs as the next layer's inputs.
+        hidden = [run_layer(new_lp, h, False)[0] for h in hidden]
+        new_layers.append(new_lp)
+
+    out_params = dict(params)
+    out_params["layers"] = dec.stack_layers(new_layers)
+    from ..utils.metrics import model_bits_per_weight
+
+    report["bits_per_weight"] = model_bits_per_weight(out_params)
+    log.emit("model_quantized", bits_per_weight=report["bits_per_weight"])
+    return out_params, report

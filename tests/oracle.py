@@ -60,23 +60,36 @@ def itf(W, alpha, mu, T, max_iter=100):
     return alpha, mu, T
 
 
-def aga(W, T, S):
-    """S = X^T X (m, m), consumed directly (driver path, main.py:177-180)."""
+def aga(W, T, S, fallback=None):
+    """S = X^T X (m, m), consumed directly (driver path, main.py:177-180).
+
+    ``fallback``: deliberate deviation from the raw reference (which clamps
+    the denominator to 1e-8, quantizer.py:240, and explodes when the normal
+    system is near-singular): rows with degenerate denominators keep the ITF
+    grid. The TPU engine implements the same guard (core/ternary.py)."""
     s1 = S.sum(axis=1)  # S @ 1
     d = s1.sum()
     v = T @ s1[:, None]
     WS1 = W @ s1[:, None]
     WT_S1 = (W * T) @ s1[:, None]
     T2_S1 = (T * T) @ s1[:, None]
-    denom = np.maximum(d * T2_S1 - v * v, EPS)
-    return (d * WT_S1 - v * WS1) / denom, (T2_S1 * WS1 - v * WT_S1) / denom
+    denom_raw = d * T2_S1 - v * v
+    denom = np.maximum(denom_raw, EPS)
+    alpha = (d * WT_S1 - v * WS1) / denom
+    mu = (T2_S1 * WS1 - v * WT_S1) / denom
+    if fallback is not None:
+        scale = np.abs(d * T2_S1) + v * v + EPS
+        ok = denom_raw > 1e-6 * scale
+        alpha = np.where(ok, alpha, fallback[0])
+        mu = np.where(ok, mu, fallback[1])
+    return alpha, mu
 
 
 def atq_quantize(W, S=None, max_iter=100):
     alpha, mu, T = ternary_init(W)
     alpha, mu, T = itf(W, alpha, mu, T, max_iter=max_iter)
     if S is not None:
-        alpha, mu = aga(W, T, S)
+        alpha, mu = aga(W, T, S, fallback=(alpha, mu))
     return alpha, mu, T
 
 

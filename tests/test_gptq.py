@@ -20,6 +20,9 @@ def _layer_problem(rng, n=24, m=64, rows=256):
 
 def _run_engine(W, H_norm, **kw):
     Hd, Hinv = hessian.damped_inverse(jnp.asarray(H_norm), kw.pop("percdamp", 0.01))
+    # Golden tests pin the reference AGA closed form (the oracle re-derives
+    # the reference math); the engine's default is the exact solve.
+    kw.setdefault("aga_mode", "reference")
     q = gptq.ternary_gptq(jnp.asarray(W), jnp.asarray(H_norm), Hinv, **kw)
     W_hat = gptq.dequantize_layer(q, W.shape[1])
     return q, np.asarray(W_hat)

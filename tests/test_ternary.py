@@ -182,6 +182,64 @@ def test_vmap_batching(rng):
         )
 
 
+def test_aga_exact_is_monotone(rng):
+    """Exact AGA solves the true normal equations, so for fixed T the output
+    error under the S metric can never exceed the ITF grid's — for ANY S."""
+    for trial in range(5):
+        W = _rand_W(rng, 12, 48)
+        X = rng.normal(size=(64, 48)).astype(np.float32)
+        X += trial * 0.5 * X.mean(axis=1, keepdims=True)  # varying correlation
+        S = (X.T @ X).astype(np.float32)
+        a0, mu0, T = oracle.itf(W, *oracle.ternary_init(W))
+        Tj = jnp.asarray(T, jnp.float32)
+        a1, m1 = atq.aga_exact(
+            jnp.asarray(W), Tj, jnp.asarray(S),
+            fallback=(jnp.asarray(a0, jnp.float32), jnp.asarray(mu0, jnp.float32)),
+        )
+
+        def s_err(a, m):
+            dW = np.asarray(W - (np.asarray(a) * T + np.asarray(m)))
+            return float(np.einsum("ij,jk,ik->", dW, S, dW))
+
+        assert s_err(a1, m1) <= s_err(a0, mu0) * (1 + 1e-5), trial
+
+
+def test_aga_exact_beats_reference_on_correlated_S(rng):
+    """On strongly-correlated S (the SSR regime) the exact solve must not
+    blow up where the reference approximation does."""
+    m = 32
+    base = rng.normal(size=(16, 1))
+    W = (base + 0.01 * rng.normal(size=(16, m))).astype(np.float32)
+    u = np.abs(rng.normal(size=(m, 1))).astype(np.float32)
+    S = u @ u.T + 0.01 * np.diag(np.abs(rng.normal(size=m)).astype(np.float32))
+    a0, mu0, T = oracle.itf(W, *oracle.ternary_init(W))
+    fb = (jnp.asarray(a0, jnp.float32), jnp.asarray(mu0, jnp.float32))
+    Tj = jnp.asarray(T, jnp.float32)
+    ae, me = atq.aga_exact(jnp.asarray(W), Tj, jnp.asarray(S, jnp.float32), fallback=fb)
+
+    def s_err(a, m_):
+        dW = np.asarray(W - (np.asarray(a) * T + np.asarray(m_)))
+        return float(np.einsum("ij,jk,ik->", dW, S, dW))
+
+    base_err = s_err(a0, mu0)
+    assert s_err(ae, me) <= base_err * (1 + 1e-5)
+
+
+def test_aga_degenerate_denominator_fallback(rng):
+    """Near-rank-one S (SSR groups near-identical columns) degenerates the
+    AGA normal system; the guarded form must keep the finite ITF grid rather
+    than the reference's exploding 1e-8-clamped closed form."""
+    m = 32
+    base = rng.normal(size=(16, 1))
+    W = (base + 1e-4 * rng.normal(size=(16, m))).astype(np.float32)
+    u = rng.normal(size=(m, 1)).astype(np.float32)
+    S = (u @ u.T + 1e-7 * np.eye(m, dtype=np.float32))  # ~rank-1 covariance
+    res = atq.atq_quantize(jnp.asarray(W), jnp.asarray(S), use_aga=True)
+    W_hat = np.asarray(atq.dequantize(*res))
+    assert np.all(np.isfinite(W_hat))
+    assert np.abs(W_hat).max() < 10 * np.abs(W).max() + 1.0
+
+
 def test_zero_weight_block(rng):
     """All-zero block: T=0 everywhere, alpha/mu finite (clamp semantics)."""
     W = jnp.zeros((4, 32), jnp.float32)
