@@ -1,0 +1,148 @@
+"""Headline benchmark: ternary Llama-2-7B greedy-decode throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tok/s, "unit": "tok/s", "vs_baseline": speedup}
+
+``vs_baseline`` is the speedup over dense bf16 decode of the SAME
+architecture on the same chip — the reference's effective inference mode
+(its TernaryLinear dequantizes to full fp16 before every matmul,
+ref model.py:75-110, so dense is a *generous* stand-in for it). If the dense
+model doesn't fit in HBM, its time is extrapolated from shallower variants
+(per-layer cost is linear in depth).
+
+Methodology notes (this environment): per-dispatch latency through the
+device tunnel is large and noisy, so everything measured is a single jitted
+program (prefill + lax.scan over decode steps); best-of-N wall times.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _bench_call(fn, *args, reps=3):
+    import numpy as np
+
+    # CRITICAL on this platform: jax.block_until_ready does NOT wait for
+    # remote execution through the device tunnel — only a host fetch does.
+    # Always materialize the (small) output to get true completion times.
+    np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
+        best = min(best, time.time() - t0)
+    return best
+
+
+def bench_decode(cfg, params, prompt_len, max_new, impl, reps=3):
+    from pt2tpu.serve import greedy_generate
+
+    prompt = jnp.ones((1, prompt_len), jnp.int32)
+    fn = lambda p: greedy_generate(
+        cfg, params, p, max_new=max_new, max_len=prompt_len + max_new, impl=impl
+    )
+    t = _bench_call(fn, prompt, reps=reps)
+    return max_new / t
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="llama-2-7b")
+    ap.add_argument("--layers", type=int, default=None, help="override n_layers")
+    ap.add_argument("--prompt", type=int, default=32)
+    ap.add_argument("--new", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--no-dense", action="store_true", help="skip dense baseline")
+    args = ap.parse_args()
+
+    from pt2tpu.models import decoder as dec
+    from pt2tpu.models import get_config
+    from pt2tpu.utils.randmodel import random_ternary_params
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        print(
+            "warning: not on TPU, benchmarking tiny config on "
+            + jax.default_backend(),
+            file=sys.stderr,
+        )
+        args.model, args.layers = "tiny-llama", 2
+
+    cfg = get_config(args.model)
+    if args.layers:
+        cfg = cfg.with_(n_layers=args.layers)
+    cfg = cfg.with_(max_seq_len=max(cfg.max_seq_len, args.prompt + args.new))
+    impl = "auto"
+
+    tparams = random_ternary_params(cfg, jax.random.PRNGKey(0))
+    tok_s = bench_decode(cfg, tparams, args.prompt, args.new, impl, args.reps)
+    print(f"ternary {cfg.n_layers}L: {tok_s:.2f} tok/s", file=sys.stderr)
+    del tparams
+
+    vs = None
+    if not args.no_dense:
+        try:
+            base_tok_s = _dense_baseline(cfg, args)
+            vs = tok_s / base_tok_s if base_tok_s else None
+        except Exception as e:  # OOM etc. — report without baseline
+            print(f"dense baseline failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    rec = {
+        "metric": f"ternary {args.model} greedy decode tokens/s/chip (batch 1)",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }
+    print(json.dumps(rec))
+
+
+def _dense_baseline(cfg, args):
+    from pt2tpu.models import decoder as dec
+
+    hbm = 0
+    try:
+        hbm = jax.devices()[0].memory_stats().get("bytes_limit", 0)
+    except Exception:
+        pass
+    # dense bf16 param bytes: ~2 * (emb + head + layers * per-layer)
+    per_layer = 2 * (
+        (2 * cfg.n_heads * cfg.hd + 2 * cfg.kv_heads * cfg.hd) * cfg.dim
+        + (3 if cfg.gated_mlp else 2) * cfg.dim * cfg.intermediate
+    )
+    fixed = 2 * 2 * cfg.vocab_size * cfg.dim
+    full_bytes = fixed + cfg.n_layers * per_layer
+
+    def run(n_layers):
+        c = cfg.with_(n_layers=n_layers)
+        p = dec.init_params(c, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+        r = bench_decode(c, p, args.prompt, args.new, "xla", args.reps)
+        del p
+        return r
+
+    if not hbm or full_bytes < 0.8 * hbm:
+        t = run(cfg.n_layers)
+        print(f"dense {cfg.n_layers}L: {t:.2f} tok/s", file=sys.stderr)
+        return t
+    # Extrapolate: decode step time is affine in layer count.
+    l1 = max(2, cfg.n_layers // 8)
+    l2 = 2 * l1
+    t1, t2 = run(l1), run(l2)
+    s1, s2 = args.new / t1, args.new / t2  # total seconds per run
+    per_layer_s = (s2 - s1) / (l2 - l1)
+    s_full = s1 + per_layer_s * (cfg.n_layers - l1)
+    tok_s = args.new / s_full
+    print(
+        f"dense extrapolated {cfg.n_layers}L: {tok_s:.2f} tok/s "
+        f"(from {l1}L/{l2}L)",
+        file=sys.stderr,
+    )
+    return tok_s
+
+
+if __name__ == "__main__":
+    main()

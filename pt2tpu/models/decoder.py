@@ -220,7 +220,7 @@ def embed_tokens(
 class LayerIO(NamedTuple):
     """Per-layer auxiliary outputs."""
 
-    kv: Optional[Tuple[jax.Array, jax.Array]]  # updated (k, v) cache slices
+    kv: Optional[Any]  # updated KV-cache layer view (serve/kvcache.py)
     taps: Optional[Dict[str, jax.Array]]  # linear-input activations
 
 
@@ -231,7 +231,7 @@ def layer_forward(
     cos: jax.Array,  # (L, hd/2) rope tables for these positions (rope only)
     sin: jax.Array,
     mask: Optional[jax.Array],  # (L, Lkv) additive
-    kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,  # (B, M, Hkv, hd)
+    cache: Optional[Any] = None,  # KVLayerView (duck-typed: .write/.read)
     cache_pos: Optional[jax.Array] = None,  # scalar write offset
     kv_valid: Optional[jax.Array] = None,  # (B, M) bool
     return_taps: bool = False,
@@ -239,9 +239,10 @@ def layer_forward(
 ) -> Tuple[jax.Array, LayerIO]:
     """One decoder layer. Returns (output hidden, LayerIO).
 
-    With ``kv_cache`` given, new k/v are written at ``cache_pos`` and
-    attention runs against the full cache (decode/prefill path); otherwise
-    attention is over the local sequence (calibration/eval path).
+    With ``cache`` given (a serve.kvcache.KVLayerView), new k/v are written
+    at ``cache_pos`` and attention runs against the full cache
+    (decode/prefill path); otherwise attention is over the local sequence
+    (calibration/eval path).
     """
     B, L, D = x.shape
     H, Hkv, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
@@ -257,12 +258,10 @@ def layer_forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-    if kv_cache is not None:
-        ck, cv = kv_cache
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
-        ctx = attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask, kv_valid)
-        new_kv = (ck, cv)
+    if cache is not None:
+        new_kv = cache.write(k, v, cache_pos)
+        ck, cv = new_kv.read(q.dtype)
+        ctx = attention(q, ck, cv, mask, kv_valid)
     else:
         ctx = attention(q, k, v, mask)
         new_kv = None

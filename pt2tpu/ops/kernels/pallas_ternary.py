@@ -51,14 +51,15 @@ def _make_kernel(bps: int, bs: int):
         for p in range(bps):  # static unroll; all slices compile-time aligned
             pk = packed_ref[p * bs4 : (p + 1) * bs4, :].astype(jnp.int32)
             planes = [((pk >> (2 * q)) & 3) for q in range(4)]
-            t = jnp.concatenate(planes, axis=0) - 1  # (bs, TN) in {-1,0,1}
+            u = jnp.concatenate(planes, axis=0).astype(cdt)  # (bs, TN) {0,1,2}
             a_row = alpha_ref[p : p + 1, :].astype(cdt)  # (1, TN)
             m_row = mu_ref[p : p + 1, :].astype(cdt)
-            # Full dequant tile alpha*T + mu via sublane broadcast — folding
-            # mu into the MXU operand instead of a separate rank-1 term:
+            # Dequant tile: alpha*(u-1) + mu == u*alpha + (mu - alpha) — the
+            # -1 recenter folds into the row constant, saving one full-size
+            # VPU pass. mu rides in the MXU operand via sublane broadcast —
             # an in-kernel (B,1) lane-reduce + lane-broadcast for
             # sum(x_block)*mu measured ~300x slower (28 ms vs 95 us).
-            tw = t.astype(cdt) * a_row + m_row  # (bs, TN)
+            tw = u * a_row + (m_row - a_row)  # (bs, TN)
             xb = x_ref[:, p * bs : (p + 1) * bs]  # (B, bs)
             acc += jnp.dot(
                 xb.astype(cdt), tw, preferred_element_type=jnp.float32

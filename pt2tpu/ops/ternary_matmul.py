@@ -90,6 +90,48 @@ class PackedTernaryLinear:
         return self.packed.shape[1]
 
 
+def make_packed_linear(
+    codes: jax.Array,  # (n, K) int8 in {-1,0,1}, visit order
+    alpha: jax.Array,  # (nb, n)
+    mu: jax.Array,  # (nb, n)
+    perm: jax.Array,  # (K,)
+    bias: Optional[jax.Array],
+    in_features: int,
+    block_size: int,
+    scale_dtype=jnp.bfloat16,
+    block_multiple: int = 8,
+) -> PackedTernaryLinear:
+    """Pack codes + scales into the inference layout.
+
+    The scale-block count is padded to a multiple of ``block_multiple``
+    (Mosaic requires scale-tile sublane dims divisible by 8): pad blocks get
+    zero alpha/mu — which neutralizes whatever their codes decode to — and
+    their perm lanes point at the zero activation slot (index m).
+    """
+    from ..core.packing import pack_ternary
+
+    nb = alpha.shape[0]
+    nbp = -(-nb // block_multiple) * block_multiple
+    pad_blocks = nbp - nb
+    if pad_blocks:
+        n, K = codes.shape
+        codes = jnp.pad(codes, ((0, 0), (0, pad_blocks * block_size)))
+        alpha = jnp.pad(alpha, ((0, pad_blocks), (0, 0)))
+        mu = jnp.pad(mu, ((0, pad_blocks), (0, 0)))
+        perm = jnp.pad(
+            perm, (0, pad_blocks * block_size), constant_values=in_features
+        )
+    packed = pack_ternary(codes, block_size=block_size)
+    return PackedTernaryLinear(
+        packed=packed,
+        alpha=alpha.astype(scale_dtype),
+        mu=mu.astype(scale_dtype),
+        perm=perm.astype(jnp.int32),
+        bias=bias,
+        in_features=in_features,
+    )
+
+
 def pack_layer(
     q: TernaryLayerQuant,
     in_features: int,
@@ -102,17 +144,15 @@ def pack_layer(
     masking is needed here: T=0 kills the alpha term and perm==m routes the
     mu-offset gather to the zero-padded activation slot.
     """
-    from ..core.packing import pack_ternary
-
-    bs = q.block_size
-    packed = pack_ternary(q.T, block_size=bs)
-    return PackedTernaryLinear(
-        packed=packed,
-        alpha=q.alpha.T.astype(scale_dtype),
-        mu=q.mu.T.astype(scale_dtype),
-        perm=q.perm.astype(jnp.int32),
-        bias=None if bias is None else bias,
+    return make_packed_linear(
+        codes=q.T,
+        alpha=q.alpha.T,
+        mu=q.mu.T,
+        perm=q.perm,
+        bias=bias,
         in_features=in_features,
+        block_size=q.block_size,
+        scale_dtype=scale_dtype,
     )
 
 

@@ -1,0 +1,142 @@
+"""GSPMD sharding rules for dense + packed-ternary model parameters.
+
+Megatron-style tensor parallelism expressed as NamedShardings; XLA inserts
+the collectives (scaling-book recipe: pick a mesh, annotate, let GSPMD do
+the rest):
+
+  * q/k/v/gate/up — column-parallel: output features on the 'model' axis.
+    Packed planes are (K/4, n) with n = out features in the *lanes* dim,
+    so they shard on their last axis; per-block scales (nb, n) likewise.
+  * o/down — row-parallel: contraction features on 'model'. Packed planes
+    shard on their first (K/4) axis, scales on their block axis; GSPMD
+    psums the partial products.
+  * embeddings / lm_head shard the hidden or vocab dim; norms replicate.
+  * the SSR ``perm`` vector is replicated: it indexes activation features,
+    and the activation gather happens pre-shard.
+
+Everything handles the stacked-layer leading axis transparently (specs are
+padded with None for any extra leading dims).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.common import DenseLinear
+from ..ops.ternary_matmul import PackedTernaryLinear
+
+__all__ = ["param_shardings", "shard_params", "batch_sharding"]
+
+_COL = {"q", "k", "v", "gate", "up"}  # column-parallel (out features sharded)
+_ROW = {"o", "down"}  # row-parallel (in features sharded)
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def _pad(spec_tail, ndim: int):
+    """Left-pad a spec with None for stacked leading dims."""
+    return tuple([None] * (ndim - len(spec_tail)) + list(spec_tail))
+
+
+def _fit(mesh: Mesh, arr, spec_tail):
+    """Drop axis names whose mesh size doesn't divide the array dim (tiny
+    test models can have fewer scale blocks than 'model' shards — replicate
+    those dims instead of failing)."""
+    nd = arr.ndim
+    spec = list(_pad(spec_tail, nd))
+    for i, ax in enumerate(spec):
+        if ax is not None and arr.shape[i] % mesh.shape[ax] != 0:
+            spec[i] = None
+    return _ns(mesh, *spec)
+
+
+def _dense_spec(lin: DenseLinear, mesh: Mesh, kind: str) -> DenseLinear:
+    tail = {"col": ["model", None], "row": [None, "model"]}.get(kind, [None, None])
+    btail = {"col": ["model"]}.get(kind, [None])
+    w = _fit(mesh, lin.w, tail)
+    b = None if lin.b is None else _fit(mesh, lin.b, btail)
+    return DenseLinear(w=w, b=b)
+
+
+def _ternary_spec(
+    lin: PackedTernaryLinear, mesh: Mesh, kind: str
+) -> PackedTernaryLinear:
+    if kind == "col":
+        packed = _fit(mesh, lin.packed, [None, "model"])
+        alpha = _fit(mesh, lin.alpha, [None, "model"])
+        mu = _fit(mesh, lin.mu, [None, "model"])
+        bias = None if lin.bias is None else _fit(mesh, lin.bias, ["model"])
+    else:  # row
+        packed = _fit(mesh, lin.packed, ["model", None])
+        alpha = _fit(mesh, lin.alpha, ["model", None])
+        mu = _fit(mesh, lin.mu, ["model", None])
+        bias = None if lin.bias is None else _fit(mesh, lin.bias, [None])
+    perm = _fit(mesh, lin.perm, [None])  # replicated
+    return PackedTernaryLinear(
+        packed=packed,
+        alpha=alpha,
+        mu=mu,
+        perm=perm,
+        bias=bias,
+        in_features=lin.in_features,
+    )
+
+
+def _linear_spec(lin, mesh, kind):
+    if isinstance(lin, PackedTernaryLinear):
+        return _ternary_spec(lin, mesh, kind)
+    return _dense_spec(lin, mesh, kind)
+
+
+def param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Sharding pytree congruent with a models/decoder params dict."""
+    repl1 = _ns(mesh, None)
+
+    layers = params["layers"]
+    layer_specs = {}
+    for name, leaf in layers.items():
+        if leaf is None:
+            layer_specs[name] = None
+        elif name in _COL:
+            layer_specs[name] = _linear_spec(leaf, mesh, "col")
+        elif name in _ROW:
+            layer_specs[name] = _linear_spec(leaf, mesh, "row")
+        else:  # norm weights/biases: replicated (stacked)
+            layer_specs[name] = _ns(mesh, *_pad([None], leaf.ndim))
+
+    out = {
+        "embed": _ns(mesh, None, "model"),
+        "pos_embed": (
+            None if params["pos_embed"] is None else _ns(mesh, None, "model")
+        ),
+        "layers": layer_specs,
+        "lnf_w": repl1,
+        "lnf_b": None if params["lnf_b"] is None else repl1,
+        "lm_head": (
+            None
+            if params["lm_head"] is None
+            else _linear_spec(params["lm_head"], mesh, "col")
+        ),
+    }
+    return out
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """device_put the params pytree onto the mesh per the standard rules."""
+    specs = param_shardings(params, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: x if s is None else jax.device_put(x, s),
+        params,
+        specs,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Tokens/activations: batch on 'data', rest replicated."""
+    return _ns(mesh, *(["data"] + [None] * (ndim - 1)))

@@ -1,0 +1,108 @@
+"""Autoregressive generation: prefill + jitted greedy/sampled decode loop.
+
+The reference has no generation path at all (its "inference" overwrites
+weights with dequantized fp16 and leaves serving to HF — SURVEY.md §3.5).
+Here decode is a single compiled program: ``lax.scan`` over decode steps,
+each step one layer-scan over stacked params + KV cache, ternary matmuls
+streaming packed weights. Static shapes throughout (fixed max_len cache,
+fixed step count) — nothing recompiles per token.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import decoder as dec
+from .kvcache import KVCache, KVLayerView, init_cache
+
+__all__ = ["forward_cached", "greedy_generate", "prefill"]
+
+
+def forward_cached(
+    cfg: dec.ModelConfig,
+    params,
+    tokens: jax.Array,  # (B, L)
+    cache: KVCache,
+    pos0,  # scalar int: first position of `tokens`
+    impl: str = "auto",
+) -> Tuple[jax.Array, KVCache]:
+    """Run ``tokens`` at positions [pos0, pos0+L) against the cache.
+
+    Returns (last-position logits (B, V), updated cache).
+    """
+    B, L = tokens.shape
+    M = cache.max_len
+    h = dec.embed_tokens(cfg, params, tokens, pos0=pos0)
+
+    if cfg.pos == "rope":
+        cos_all, sin_all = dec.rope_tables(cfg.hd, M, cfg.rope_theta)
+        cos = jax.lax.dynamic_slice_in_dim(cos_all, pos0, L)
+        sin = jax.lax.dynamic_slice_in_dim(sin_all, pos0, L)
+    else:
+        cos = sin = jnp.zeros((L, 1), jnp.float32)
+    mask = dec.causal_mask(L, M, q_offset=pos0)
+
+    views = KVLayerView(
+        k=cache.k, v=cache.v, k_scale=cache.k_scale, v_scale=cache.v_scale
+    )
+
+    def body(x, xs):
+        lp, kvl = xs
+        y, io = dec.layer_forward(
+            cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=pos0, impl=impl
+        )
+        return y, io.kv
+
+    h, new_views = jax.lax.scan(body, h, (params["layers"], views))
+    logits = dec.unembed(cfg, params, h[:, -1:, :])[:, 0]
+    return logits, cache.with_layers(new_views, pos0 + L)
+
+
+def prefill(
+    cfg, params, prompt: jax.Array, cache: KVCache, impl: str = "auto"
+) -> Tuple[jax.Array, KVCache]:
+    """Process the prompt; returns (next-token logits, filled cache)."""
+    return forward_cached(cfg, params, prompt, cache, 0, impl)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_new", "impl", "max_len", "kv_quant")
+)
+def greedy_generate(
+    cfg: dec.ModelConfig,
+    params,
+    prompt: jax.Array,  # (B, Lp) int32
+    max_new: int,
+    max_len: Optional[int] = None,
+    impl: str = "auto",
+    kv_quant: bool = False,
+) -> jax.Array:
+    """Greedy decode ``max_new`` tokens after ``prompt``; one compiled program.
+
+    Returns (B, max_new) generated token ids.
+    """
+    B, Lp = prompt.shape
+    M = max_len or min(cfg.max_seq_len, Lp + max_new)
+    if Lp + max_new > M:
+        raise ValueError(f"prompt {Lp} + max_new {max_new} exceeds max_len {M}")
+    cache = init_cache(cfg, B, M, quantized=kv_quant)
+
+    logits, cache = prefill(cfg, params, prompt, cache, impl)
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def step(carry, _):
+        cache, tok, pos = carry
+        logits, cache = forward_cached(
+            cfg, params, tok[:, None], cache, pos, impl
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (cache, nxt, pos + 1), nxt
+
+    (_, _, _), rest = jax.lax.scan(
+        step, (cache, tok0, jnp.int32(Lp)), None, length=max_new - 1
+    )
+    return jnp.concatenate([tok0[:, None], rest.T], axis=1)

@@ -1,0 +1,161 @@
+"""KV-cache containers: bf16 and INT8-quantized, as registered pytrees.
+
+The reference never touches attention internals or caching (SURVEY.md §2.3 /
+§5 — HF ``transformers`` does everything). For a serving engine the KV cache
+is a first-class object: static max-length buffers (XLA-friendly
+``dynamic_update_slice`` writes, no reallocation), stacked across layers so
+the decode step scans over them, and optionally INT8-quantized per
+(position, head) with f32 scales — halving HBM traffic of long-context
+decode against bf16.
+
+INT8 scheme: symmetric per-vector absmax over the head dim,
+``scale = max|x| / 127``; dequant on read. Write/read are jit-traceable
+methods on the pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["KVCache", "init_cache"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    """Stacked-layer KV cache.
+
+    k/v: (n_layers, B, M, Hkv, hd) in ``store_dtype`` (bf16 or int8).
+    k_scale/v_scale: (n_layers, B, M, Hkv, 1) f32 — only for int8.
+    length: () int32 — tokens written so far (same for all batch rows).
+    """
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: Optional[jax.Array]
+    v_scale: Optional[jax.Array]
+    length: jax.Array
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.k_scale, self.v_scale, self.length), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # ---- static properties -------------------------------------------
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    # ---- per-layer access (inside the layer scan) --------------------
+    def layer(self, i) -> "KVLayerView":
+        return KVLayerView(
+            k=self.k[i],
+            v=self.v[i],
+            k_scale=None if self.k_scale is None else self.k_scale[i],
+            v_scale=None if self.v_scale is None else self.v_scale[i],
+        )
+
+    def with_layers(self, stacked: "KVLayerView", new_length) -> "KVCache":
+        """Rebuild from scan-stacked per-layer views + new length."""
+        return KVCache(
+            k=stacked.k,
+            v=stacked.v,
+            k_scale=stacked.k_scale,
+            v_scale=stacked.v_scale,
+            length=jnp.asarray(new_length, jnp.int32),
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVLayerView:
+    """One layer's cache slice: (B, M, Hkv, hd) (+ scales)."""
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: Optional[jax.Array]
+    v_scale: Optional[jax.Array]
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.k_scale, self.v_scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def write(self, k_new: jax.Array, v_new: jax.Array, pos) -> "KVLayerView":
+        """Insert (B, L, Hkv, hd) new keys/values at position ``pos``."""
+        if self.k_scale is None:
+            k = jax.lax.dynamic_update_slice(
+                self.k, k_new.astype(self.k.dtype), (0, pos, 0, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                self.v, v_new.astype(self.v.dtype), (0, pos, 0, 0)
+            )
+            return KVLayerView(k, v, None, None)
+        kq, ks = _quantize_i8(k_new)
+        vq, vs = _quantize_i8(v_new)
+        return KVLayerView(
+            k=jax.lax.dynamic_update_slice(self.k, kq, (0, pos, 0, 0)),
+            v=jax.lax.dynamic_update_slice(self.v, vq, (0, pos, 0, 0)),
+            k_scale=jax.lax.dynamic_update_slice(
+                self.k_scale, ks, (0, pos, 0, 0)
+            ),
+            v_scale=jax.lax.dynamic_update_slice(
+                self.v_scale, vs, (0, pos, 0, 0)
+            ),
+        )
+
+    def read(self, dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
+        """Full (B, M, Hkv, hd) keys/values, dequantized to ``dtype``."""
+        if self.k_scale is None:
+            return self.k.astype(dtype), self.v.astype(dtype)
+        k = (self.k.astype(jnp.float32) * self.k_scale).astype(dtype)
+        v = (self.v.astype(jnp.float32) * self.v_scale).astype(dtype)
+        return k, v
+
+
+def _quantize_i8(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-(batch, pos, head) absmax INT8: (..., hd) -> int8 + f32."""
+    x32 = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def init_cache(
+    cfg,
+    batch: int,
+    max_len: int,
+    dtype=jnp.bfloat16,
+    quantized: bool = False,
+) -> KVCache:
+    """Allocate an empty cache for ``cfg`` (models.decoder.ModelConfig)."""
+    L, Hkv, hd = cfg.n_layers, cfg.kv_heads, cfg.hd
+    shape = (L, batch, max_len, Hkv, hd)
+    if quantized:
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros((L, batch, max_len, Hkv, 1), jnp.float32),
+            v_scale=jnp.zeros((L, batch, max_len, Hkv, 1), jnp.float32),
+            length=jnp.int32(0),
+        )
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        k_scale=None,
+        v_scale=None,
+        length=jnp.int32(0),
+    )

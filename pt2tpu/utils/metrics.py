@@ -61,12 +61,17 @@ def model_bits_per_weight(params) -> float:
     ):
         if isinstance(leaf, PackedTernaryLinear):
             # Arrays may carry leading stack dims (stacked decoder layers).
+            # Count *logical* storage: the artifact keeps only real scale
+            # blocks (ceil(m / bs)); the x8 block padding in the in-memory
+            # layout is a Mosaic tile requirement re-applied at load time.
             n = leaf.packed.shape[-1]
             lead = leaf.packed.size // (leaf.packed.shape[-2] * n)
+            bs = leaf.packed.shape[-2] * 4 // leaf.alpha.shape[-2]
+            real_nb = -(-leaf.in_features // bs)
             total_weights += lead * leaf.in_features * n
-            total_bits += leaf.packed.size * 8  # packed planes
+            total_bits += lead * real_nb * (bs // 4) * n * 8  # packed planes
             total_bits += (
-                leaf.alpha.size + leaf.mu.size
+                2 * lead * real_nb * n
             ) * leaf.alpha.dtype.itemsize * 8
     if total_weights == 0:
         return 16.0  # ref utils.py:282-283 fallback

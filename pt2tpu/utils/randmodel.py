@@ -1,0 +1,97 @@
+"""Construct random ternary-quantized model params directly (no GPTQ pass).
+
+Used by benchmarks, the graft entry point, and sharding tests: builds
+``PackedTernaryLinear`` leaves with random packed codes and plausible
+scales, exactly the storage/compute shape of a real quantized model without
+paying for calibration.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import decoder as dec
+from ..models.common import DenseLinear
+from ..ops.ternary_matmul import PackedTernaryLinear
+
+__all__ = ["random_ternary_linear", "random_ternary_params"]
+
+
+def random_ternary_linear(
+    key,
+    out_features: int,
+    in_features: int,
+    block_size: int = 128,
+    bias: bool = False,
+    scale_dtype=jnp.bfloat16,
+) -> PackedTernaryLinear:
+    bs = min(block_size, in_features)
+    while in_features % bs != 0 and bs > 4:
+        bs //= 2
+    nb = in_features // bs
+    K = nb * bs
+    k1, k2, k3 = jax.random.split(key, 3)
+    codes = jax.random.randint(k1, (out_features, K), -1, 2, dtype=jnp.int8)
+    scale = 1.0 / math.sqrt(in_features)
+    alpha = scale * (0.8 + 0.4 * jax.random.uniform(k2, (nb, out_features)))
+    mu = 0.02 * scale * jax.random.normal(k3, (nb, out_features))
+    from ..ops.ternary_matmul import make_packed_linear
+
+    return make_packed_linear(
+        codes=codes,
+        alpha=alpha,
+        mu=mu,
+        perm=jnp.arange(K, dtype=jnp.int32),
+        bias=jnp.zeros((out_features,), jnp.float32) if bias else None,
+        in_features=in_features,
+        block_size=bs,
+        scale_dtype=scale_dtype,
+    )
+
+
+def random_ternary_params(
+    cfg: dec.ModelConfig,
+    key,
+    dtype=jnp.bfloat16,
+    block_size: int = 128,
+    scale_dtype=jnp.bfloat16,
+):
+    """Full decoder params with every projection pre-ternarized."""
+    params = dec.init_params(cfg, key, dtype=dtype)
+    H, Hkv, hd, D, I = cfg.n_heads, cfg.kv_heads, cfg.hd, cfg.dim, cfg.intermediate
+    shapes = {
+        "q": (H * hd, D),
+        "k": (Hkv * hd, D),
+        "v": (Hkv * hd, D),
+        "o": (D, H * hd),
+        "up": (I, D),
+        "down": (D, I),
+    }
+    if cfg.gated_mlp:
+        shapes["gate"] = (I, D)
+    qbias = cfg.linear_bias or cfg.qkv_bias
+
+    layers = []
+    keys = jax.random.split(key, cfg.n_layers)
+    base = dec.layer_slice(params["layers"], 0)
+    for li in range(cfg.n_layers):
+        lkeys = jax.random.split(keys[li], len(shapes))
+        lp = {
+            k: v
+            for k, v in dec.layer_slice(params["layers"], li).items()
+            if k.startswith("ln")
+        }
+        for (name, (o, i)), lk in zip(sorted(shapes.items()), lkeys):
+            has_bias = cfg.linear_bias or (qbias and name in ("q", "k", "v"))
+            lp[name] = random_ternary_linear(
+                lk, o, i, block_size, has_bias, scale_dtype
+            )
+        if not cfg.gated_mlp:
+            lp["gate"] = None
+        layers.append(lp)
+    params["layers"] = dec.stack_layers(layers)
+    return params
