@@ -1,0 +1,232 @@
+"""Command-line interface: quantize / eval / generate / info.
+
+Mirrors the reference CLI contract (ref main.py:338-433 — flags --model
+--output --block_size --num_samples --seq_len --no_ssr --percdamp --eval
+--eval_dataset --seed) as subcommands of ``python -m pt2tpu.cli``:
+
+  quantize  — load model (local HF dir, or a registry config with random
+              init), calibrate + ternarize, save a packed artifact, report
+              size/bits, optionally evaluate perplexity. Resumable via the
+              per-layer journal in the output directory.
+  eval      — perplexity of an artifact (or dense model) on a token stream.
+  generate  — greedy decode from a prompt (token ids, or text when a local
+              tokenizer is available).
+  info      — inspect an artifact's manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _resolve_model(name_or_path: str, dtype, seed: int = 0):
+    """Local HF dir -> real weights; registry name -> random init."""
+    from .models import decoder as dec
+    from .models import get_config
+
+    if os.path.isdir(name_or_path):
+        from .models.hf_loader import load_hf_model
+
+        return load_hf_model(name_or_path, dtype=dtype) + ("hf",)
+    cfg = get_config(name_or_path)
+    params = dec.init_params(cfg, jax.random.PRNGKey(seed), dtype=dtype)
+    return cfg, params, "random-init"
+
+
+def _load_tokenizer(path_or_none):
+    if not path_or_none:
+        return None
+    try:
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(path_or_none, local_files_only=True)
+    except Exception as e:
+        print(f"tokenizer unavailable ({e}); token-id IO only", file=sys.stderr)
+        return None
+
+
+def cmd_quantize(args):
+    from .data import get_calibration_data
+    from .quant import QuantConfig, quantize_model
+    from .utils.checkpoint import save_model
+    from .utils.metrics import MetricsLogger, model_bits_per_weight
+
+    dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    cfg, params, provenance = _resolve_model(args.model, dtype, args.seed)
+    print(f"model: {args.model} [{provenance}] {cfg.n_layers}L dim={cfg.dim}")
+
+    tok = _load_tokenizer(args.tokenizer or (args.model if provenance == "hf" else None))
+    calib, calib_prov = get_calibration_data(
+        args.calib,
+        cfg.vocab_size,
+        num_samples=args.num_samples,
+        seq_len=min(args.seq_len, cfg.max_seq_len),
+        seed=args.seed,
+        tokenizer=tok,
+    )
+    print(f"calibration: {calib_prov} {calib.shape}")
+
+    qcfg = QuantConfig(
+        block_size=args.block_size,
+        percdamp=args.percdamp,
+        use_ssr=not args.no_ssr,
+        use_aga=args.aga != "off",
+        aga_mode=args.aga if args.aga != "off" else "exact",
+        batch_size=args.batch_size,
+    )
+    log = MetricsLogger(
+        os.path.join(args.output, "quantize_metrics.jsonl"), verbose=True
+    )
+    t0 = time.time()
+    qparams, report = quantize_model(
+        cfg, params, jnp.asarray(calib), qcfg, log=log, journal_dir=args.output
+    )
+    elapsed = time.time() - t0
+    bpw = model_bits_per_weight(qparams)
+    print(f"quantized in {elapsed:.1f}s; bits/weight {bpw:.3f}")
+
+    report["provenance"] = {"model": provenance, "calibration": calib_prov}
+    report["elapsed_s"] = elapsed
+    save_model(args.output, cfg, qparams, quant_config=qcfg, report=report)
+    print(f"artifact saved to {args.output}")
+
+    if args.eval:
+        _eval_params(cfg, qparams, args, tok)
+
+
+def _eval_params(cfg, params, args, tok):
+    from .data import evaluate_perplexity, get_token_stream
+
+    stream, prov = get_token_stream(
+        args.eval_dataset, cfg.vocab_size, split="test", tokenizer=tok,
+        seed=args.seed,
+    )
+    res = evaluate_perplexity(
+        cfg,
+        params,
+        stream,
+        seq_len=min(args.seq_len, cfg.max_seq_len),
+        max_windows=args.max_windows,
+    )
+    print(f"perplexity [{prov}]: {res['ppl']:.4f} over {res['tokens']} tokens")
+    return res
+
+
+def cmd_eval(args):
+    from .utils.checkpoint import load_model
+
+    if os.path.exists(os.path.join(args.model, "manifest.json")):
+        cfg, params = load_model(args.model)
+        tok = _load_tokenizer(args.tokenizer)
+    else:
+        dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+        cfg, params, _ = _resolve_model(args.model, dtype, args.seed)
+        tok = _load_tokenizer(args.tokenizer)
+    _eval_params(cfg, params, args, tok)
+
+
+def cmd_generate(args):
+    from .serve import greedy_generate
+    from .utils.checkpoint import load_model
+
+    if os.path.exists(os.path.join(args.model, "manifest.json")):
+        cfg, params = load_model(args.model)
+    else:
+        dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+        cfg, params, _ = _resolve_model(args.model, dtype, args.seed)
+
+    tok = _load_tokenizer(args.tokenizer)
+    if args.prompt_ids:
+        ids = [int(x) for x in args.prompt_ids.split(",")]
+    elif args.prompt and tok:
+        ids = tok(args.prompt)["input_ids"]
+    else:
+        raise SystemExit("need --prompt-ids, or --prompt with a local tokenizer")
+    prompt = jnp.asarray(np.asarray(ids, np.int32)[None, :])
+
+    out = greedy_generate(
+        cfg,
+        params,
+        prompt,
+        max_new=args.max_new,
+        max_len=min(cfg.max_seq_len, prompt.shape[1] + args.max_new),
+        kv_quant=args.kv_int8,
+    )
+    ids_out = np.asarray(out)[0].tolist()
+    if tok:
+        print(tok.decode(ids_out))
+    else:
+        print(",".join(map(str, ids_out)))
+
+
+def cmd_info(args):
+    with open(os.path.join(args.model, "manifest.json")) as f:
+        manifest = json.load(f)
+    manifest.pop("structure", None)
+    print(json.dumps(manifest, indent=2))
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        prog="pt2tpu", description="TPU-native ternary post-training quantization"
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("quantize", help="ternarize a model")
+    q.add_argument("--model", required=True, help="local HF dir or config name")
+    q.add_argument("--output", default="./quantized_model")
+    q.add_argument("--block_size", type=int, default=128)
+    q.add_argument("--num_samples", type=int, default=128)
+    q.add_argument("--seq_len", type=int, default=2048)
+    q.add_argument("--no_ssr", action="store_true")
+    q.add_argument("--percdamp", type=float, default=0.01)
+    q.add_argument("--aga", choices=["exact", "reference", "off"], default="exact")
+    q.add_argument("--calib", default="wikitext", help="wikitext|c4|ptb|synthetic|<file>")
+    q.add_argument("--batch_size", type=int, default=8)
+    q.add_argument("--eval", action="store_true")
+    q.add_argument("--eval_dataset", default="wikitext")
+    q.add_argument("--max_windows", type=int, default=None)
+    q.add_argument("--seed", type=int, default=42)
+    q.add_argument("--tokenizer", default=None)
+    q.set_defaults(fn=cmd_quantize)
+
+    e = sub.add_parser("eval", help="perplexity of an artifact or model")
+    e.add_argument("--model", required=True)
+    e.add_argument("--eval_dataset", default="wikitext")
+    e.add_argument("--seq_len", type=int, default=2048)
+    e.add_argument("--max_windows", type=int, default=None)
+    e.add_argument("--seed", type=int, default=42)
+    e.add_argument("--tokenizer", default=None)
+    e.set_defaults(fn=cmd_eval)
+
+    g = sub.add_parser("generate", help="greedy decode")
+    g.add_argument("--model", required=True)
+    g.add_argument("--prompt", default=None)
+    g.add_argument("--prompt-ids", default=None)
+    g.add_argument("--max-new", type=int, default=64)
+    g.add_argument("--kv-int8", action="store_true")
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--tokenizer", default=None)
+    g.set_defaults(fn=cmd_generate)
+
+    i = sub.add_parser("info", help="inspect an artifact")
+    i.add_argument("--model", required=True)
+    i.set_defaults(fn=cmd_info)
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -97,12 +97,17 @@ def rope_tables(head_dim: int, max_len: int, theta: float = 10000.0):
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """Rotate (B, L, H, hd) queries/keys; cos/sin are (L, hd/2) (pre-sliced
-    to the positions of this call). Half-split convention (HF Llama)."""
+    """Rotate (B, L, H, hd) queries/keys. cos/sin are (L, hd/2) — shared
+    positions — or (B, L, hd/2) — per-row positions (continuous batching).
+    Half-split convention (HF Llama)."""
     hd = x.shape[-1]
     x1, x2 = x[..., : hd // 2], x[..., hd // 2 :]
-    c = cos[None, :, None, :].astype(x.dtype)
-    s = sin[None, :, None, :].astype(x.dtype)
+    if cos.ndim == 2:
+        c = cos[None, :, None, :].astype(x.dtype)
+        s = sin[None, :, None, :].astype(x.dtype)
+    else:
+        c = cos[:, :, None, :].astype(x.dtype)
+        s = sin[:, :, None, :].astype(x.dtype)
     return jnp.concatenate((x1 * c - x2 * s, x2 * c + x1 * s), axis=-1)
 
 

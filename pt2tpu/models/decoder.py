@@ -259,7 +259,12 @@ def layer_forward(
         k = apply_rope(k, cos, sin)
 
     if cache is not None:
-        new_kv = cache.write(k, v, cache_pos)
+        # cache_pos: scalar (prefill / lockstep decode) or (B,) per-row
+        # positions (continuous batching; L must be 1).
+        if jnp.ndim(cache_pos) == 0:
+            new_kv = cache.write(k, v, cache_pos)
+        else:
+            new_kv = cache.write_rows(k, v, cache_pos)
         ck, cv = new_kv.read(q.dtype)
         ctx = attention(q, ck, cv, mask, kv_valid)
     else:

@@ -72,6 +72,7 @@ def _opt(dim, n_layers, n_heads, inter, vocab=50272, **kw):
         act="relu",
         gated_mlp=False,
         linear_bias=True,
+        tie_embeddings=True,  # HF OPT ties lm_head to embed_tokens
         **kw,
     )
 

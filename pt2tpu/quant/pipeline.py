@@ -111,6 +111,7 @@ def quantize_model(
     log: Optional[MetricsLogger] = None,
     start_layer: int = 0,
     prequantized_layers: Optional[List[Any]] = None,
+    journal_dir: Optional[str] = None,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Ternarize every decoder-layer projection of a model.
 
@@ -118,9 +119,20 @@ def quantize_model(
     reference, which only quantizes linears inside transformer layers
     (ref main.py:272, find_linear_layers over each layer).
 
+    ``journal_dir``: if set, each quantized layer is written there as it
+    completes and any journaled prefix is loaded on entry — a preempted run
+    resumes at the first un-journaled layer.
+
     Returns (quantized params, report dict).
     """
     log = log or MetricsLogger(verbose=False)
+    if journal_dir and prequantized_layers is None and start_layer == 0:
+        from ..utils.checkpoint import load_layers
+
+        prequantized_layers = load_layers(journal_dir)
+        start_layer = len(prequantized_layers)
+        if start_layer:
+            log.emit("resume_from_journal", layers=start_layer)
     N, L = calib_tokens.shape
     bs = min(qcfg.batch_size, N)
 
@@ -184,6 +196,10 @@ def quantize_model(
         # Propagate quantized outputs as the next layer's inputs.
         hidden = [run_layer(new_lp, h, False)[0] for h in hidden]
         new_layers.append(new_lp)
+        if journal_dir:
+            from ..utils.checkpoint import save_layer
+
+            save_layer(journal_dir, li, new_lp)
 
     out_params = dict(params)
     out_params["layers"] = dec.stack_layers(new_layers)

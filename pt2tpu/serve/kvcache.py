@@ -116,6 +116,27 @@ class KVLayerView:
             ),
         )
 
+    def write_rows(
+        self, k_new: jax.Array, v_new: jax.Array, positions: jax.Array
+    ) -> "KVLayerView":
+        """Per-row single-token write: (B, 1, Hkv, hd) at positions (B,) —
+        the continuous-batching decode path where every slot sits at its own
+        sequence position."""
+        B = k_new.shape[0]
+        rows = jnp.arange(B)
+        if self.k_scale is None:
+            k = self.k.at[rows, positions].set(k_new[:, 0].astype(self.k.dtype))
+            v = self.v.at[rows, positions].set(v_new[:, 0].astype(self.v.dtype))
+            return KVLayerView(k, v, None, None)
+        kq, ks = _quantize_i8(k_new)
+        vq, vs = _quantize_i8(v_new)
+        return KVLayerView(
+            k=self.k.at[rows, positions].set(kq[:, 0]),
+            v=self.v.at[rows, positions].set(vq[:, 0]),
+            k_scale=self.k_scale.at[rows, positions].set(ks[:, 0]),
+            v_scale=self.v_scale.at[rows, positions].set(vs[:, 0]),
+        )
+
     def read(self, dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
         """Full (B, M, Hkv, hd) keys/values, dequantized to ``dtype``."""
         if self.k_scale is None:
