@@ -40,14 +40,30 @@ def _bench_call(fn, *args, reps=3):
 
 
 def bench_decode(cfg, params, prompt_len, max_new, impl, reps=3):
+    """Per-token decode throughput via two-length slope timing.
+
+    Dispatch latency through the device tunnel is large and wildly variable
+    (70 us - 25 ms), so single-run timing is meaningless; timing the SAME
+    program at two decode lengths and taking the slope cancels dispatch +
+    prefill exactly.
+    """
     from pt2tpu.serve import greedy_generate
 
+    short = max(8, max_new // 4)
     prompt = jnp.ones((1, prompt_len), jnp.int32)
-    fn = lambda p: greedy_generate(
-        cfg, params, p, max_new=max_new, max_len=prompt_len + max_new, impl=impl
-    )
-    t = _bench_call(fn, prompt, reps=reps)
-    return max_new / t
+    M = prompt_len + max_new
+
+    def run(n):
+        return lambda p: greedy_generate(
+            cfg, params, p, max_new=n, max_len=M, impl=impl
+        )
+
+    t_short = _bench_call(run(short), prompt, reps=reps)
+    t_long = _bench_call(run(max_new), prompt, reps=reps)
+    per_tok = (t_long - t_short) / (max_new - short)
+    if per_tok <= 0:  # throttle noise swamped the slope; fall back
+        per_tok = t_long / max_new
+    return 1.0 / per_tok
 
 
 def main():

@@ -134,7 +134,6 @@ def cmd_eval(args):
 
 
 def cmd_generate(args):
-    from .serve import greedy_generate
     from .utils.checkpoint import load_model
 
     if os.path.exists(os.path.join(args.model, "manifest.json")):
@@ -152,13 +151,20 @@ def cmd_generate(args):
         raise SystemExit("need --prompt-ids, or --prompt with a local tokenizer")
     prompt = jnp.asarray(np.asarray(ids, np.int32)[None, :])
 
-    out = greedy_generate(
+    from .serve import SamplingConfig, generate
+
+    scfg = SamplingConfig(
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p
+    )
+    out = generate(
         cfg,
         params,
         prompt,
         max_new=args.max_new,
         max_len=min(cfg.max_seq_len, prompt.shape[1] + args.max_new),
         kv_quant=args.kv_int8,
+        sampling=scfg,
+        key=jax.random.PRNGKey(args.seed),
     )
     ids_out = np.asarray(out)[0].tolist()
     if tok:
@@ -213,6 +219,9 @@ def build_parser():
     g.add_argument("--prompt-ids", default=None)
     g.add_argument("--max-new", type=int, default=64)
     g.add_argument("--kv-int8", action="store_true")
+    g.add_argument("--temperature", type=float, default=0.0)
+    g.add_argument("--top_k", type=int, default=0)
+    g.add_argument("--top_p", type=float, default=1.0)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--tokenizer", default=None)
     g.set_defaults(fn=cmd_generate)

@@ -47,23 +47,34 @@ def _make_kernel(bps: int, bs: int):
             o_ref[:] = jnp.zeros_like(o_ref)
 
         cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        B = x_ref.shape[0]
+        tn = o_ref.shape[1]
         acc = jnp.zeros_like(o_ref)
+
+        # The kernel is VPU *pass*-bound (each full-size elementwise op is
+        # one 8x128/cycle sweep), so scale application moves to the MXU:
+        #   W = alpha*(u-1) + mu = alpha*u + (mu - alpha)
+        #   x @ W^T = alpha_row * (x_b @ u_b)  +  blocksum(x) @ (mu - alpha)
+        # blocksum(x) = x_step @ O with O the (bps*bs, bps) block-indicator —
+        # a small MXU dot, NOT a lane reduction (an in-kernel (B,1)
+        # lane-reduce + broadcast measured ~300x slower: 28 ms vs 95 us).
+        xs = x_ref[:].astype(cdt)  # (B, bps*bs)
+        row_blk = jax.lax.broadcasted_iota(jnp.int32, (bps * bs, bps), 0) // bs
+        col_blk = jax.lax.broadcasted_iota(jnp.int32, (bps * bs, bps), 1)
+        ones_blocks = (row_blk == col_blk).astype(cdt)
+        smat = jnp.dot(xs, ones_blocks, preferred_element_type=jnp.float32)
+        offset = (mu_ref[:] - alpha_ref[:]).astype(cdt)  # (bps, TN)
+        acc += jnp.dot(
+            smat.astype(cdt), offset, preferred_element_type=jnp.float32
+        )
+
         for p in range(bps):  # static unroll; all slices compile-time aligned
             pk = packed_ref[p * bs4 : (p + 1) * bs4, :].astype(jnp.int32)
             planes = [((pk >> (2 * q)) & 3) for q in range(4)]
             u = jnp.concatenate(planes, axis=0).astype(cdt)  # (bs, TN) {0,1,2}
-            a_row = alpha_ref[p : p + 1, :].astype(cdt)  # (1, TN)
-            m_row = mu_ref[p : p + 1, :].astype(cdt)
-            # Dequant tile: alpha*(u-1) + mu == u*alpha + (mu - alpha) — the
-            # -1 recenter folds into the row constant, saving one full-size
-            # VPU pass. mu rides in the MXU operand via sublane broadcast —
-            # an in-kernel (B,1) lane-reduce + lane-broadcast for
-            # sum(x_block)*mu measured ~300x slower (28 ms vs 95 us).
-            tw = u * a_row + (m_row - a_row)  # (bs, TN)
-            xb = x_ref[:, p * bs : (p + 1) * bs]  # (B, bs)
-            acc += jnp.dot(
-                xb.astype(cdt), tw, preferred_element_type=jnp.float32
-            )
+            xb = xs[:, p * bs : (p + 1) * bs]  # (B, bs)
+            d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
+            acc += d * alpha_ref[p : p + 1, :].astype(jnp.float32)
         o_ref[:] += acc
 
     return _kernel

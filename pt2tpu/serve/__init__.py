@@ -1,8 +1,12 @@
-from .generate import forward_cached, greedy_generate, prefill
+from .generate import forward_cached, generate, greedy_generate, prefill
+from .sampling import SamplingConfig, sample
 from .kvcache import KVCache, init_cache
 
 __all__ = [
     "forward_cached",
+    "generate",
+    "SamplingConfig",
+    "sample",
     "greedy_generate",
     "prefill",
     "KVCache",

@@ -70,9 +70,10 @@ def prefill(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_new", "impl", "max_len", "kv_quant")
+    jax.jit,
+    static_argnames=("cfg", "max_new", "impl", "max_len", "kv_quant", "sampling"),
 )
-def greedy_generate(
+def generate(
     cfg: dec.ModelConfig,
     params,
     prompt: jax.Array,  # (B, Lp) int32
@@ -80,29 +81,48 @@ def greedy_generate(
     max_len: Optional[int] = None,
     impl: str = "auto",
     kv_quant: bool = False,
+    sampling: "SamplingConfig" = None,
+    key: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Greedy decode ``max_new`` tokens after ``prompt``; one compiled program.
+    """Decode ``max_new`` tokens after ``prompt``; one compiled program.
 
-    Returns (B, max_new) generated token ids.
+    ``sampling``: a serve.sampling.SamplingConfig (hashable/static); None or
+    temperature<=0 means greedy. Returns (B, max_new) token ids.
     """
+    from .sampling import SamplingConfig, sample
+
+    scfg = sampling or SamplingConfig()
     B, Lp = prompt.shape
     M = max_len or min(cfg.max_seq_len, Lp + max_new)
     if Lp + max_new > M:
         raise ValueError(f"prompt {Lp} + max_new {max_new} exceeds max_len {M}")
+    if key is None:
+        key = jax.random.PRNGKey(0)
     cache = init_cache(cfg, B, M, quantized=kv_quant)
 
     logits, cache = prefill(cfg, params, prompt, cache, impl)
-    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    key, k0 = jax.random.split(key)
+    tok0 = sample(logits, k0, scfg)
 
     def step(carry, _):
-        cache, tok, pos = carry
+        cache, tok, pos, key = carry
         logits, cache = forward_cached(
             cfg, params, tok[:, None], cache, pos, impl
         )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (cache, nxt, pos + 1), nxt
+        key, ks = jax.random.split(key)
+        nxt = sample(logits, ks, scfg)
+        return (cache, nxt, pos + 1, key), nxt
 
-    (_, _, _), rest = jax.lax.scan(
-        step, (cache, tok0, jnp.int32(Lp)), None, length=max_new - 1
+    (_, _, _, _), rest = jax.lax.scan(
+        step, (cache, tok0, jnp.int32(Lp), key), None, length=max_new - 1
     )
     return jnp.concatenate([tok0[:, None], rest.T], axis=1)
+
+
+def greedy_generate(cfg, params, prompt, max_new, max_len=None, impl="auto",
+                    kv_quant=False):
+    """Greedy decode — the common special case of :func:`generate`."""
+    return generate(
+        cfg, params, prompt, max_new, max_len=max_len, impl=impl,
+        kv_quant=kv_quant,
+    )
