@@ -81,6 +81,7 @@ def cmd_quantize(args):
         use_aga=args.aga != "off",
         aga_mode=args.aga if args.aga != "off" else "exact",
         batch_size=args.batch_size,
+        fuse_projections=not args.no_fuse,
     )
     log = MetricsLogger(
         os.path.join(args.output, "quantize_metrics.jsonl"), verbose=True
@@ -195,6 +196,8 @@ def build_parser():
     q.add_argument("--no_ssr", action="store_true")
     q.add_argument("--percdamp", type=float, default=0.01)
     q.add_argument("--aga", choices=["exact", "reference", "off"], default="exact")
+    q.add_argument("--no_fuse", action="store_true",
+                   help="quantize q/k/v and gate/up separately (reference layout)")
     q.add_argument("--calib", default="wikitext", help="wikitext|c4|ptb|synthetic|<file>")
     q.add_argument("--batch_size", type=int, default=8)
     q.add_argument("--eval", action="store_true")

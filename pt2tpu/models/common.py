@@ -20,7 +20,11 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.ternary_matmul import PackedTernaryLinear, ternary_linear_apply
+from ..ops.ternary_matmul import (
+    PackedTernaryLinear,
+    ternary_linear_apply,
+    ternary_linear_apply_stacked,
+)
 
 __all__ = [
     "DenseLinear",
@@ -58,9 +62,17 @@ class DenseLinear:
         return self.w.shape[0]
 
 
-def apply_linear(lin: Any, x: jax.Array, impl: str = "auto") -> jax.Array:
-    """Dispatch on the linear container type (static under jit)."""
+def apply_linear(
+    lin: Any, x: jax.Array, impl: str = "auto", layer_idx=None
+) -> jax.Array:
+    """Dispatch on the linear container type (static under jit).
+
+    ``layer_idx``: when set and ``lin`` carries stacked (n_layers, ...)
+    ternary arrays, use the scalar-prefetch layer-indexed kernel (avoids
+    HBM weight copies inside scan-over-layers loops)."""
     if isinstance(lin, PackedTernaryLinear):
+        if layer_idx is not None and lin.packed.ndim == 3:
+            return ternary_linear_apply_stacked(lin, x, layer_idx, impl=impl)
         return ternary_linear_apply(lin, x, impl=impl)
     y = x @ lin.w.T.astype(x.dtype)
     if lin.b is not None:
@@ -122,10 +134,14 @@ def attention(
     q: jax.Array,  # (B, Lq, H, hd)
     k: jax.Array,  # (B, Lkv, Hkv, hd)
     v: jax.Array,  # (B, Lkv, Hkv, hd)
-    mask: Optional[jax.Array] = None,  # (Lq, Lkv) additive, or None
+    mask: Optional[jax.Array] = None,  # additive bias, see below
     kv_valid: Optional[jax.Array] = None,  # (B, Lkv) bool for cache slots
 ) -> jax.Array:
     """Grouped-query scaled dot-product attention; returns (B, Lq, H, hd).
+
+    ``mask`` is an additive bias of shape (Lq, Lkv) — shared causal mask —
+    or (H, Lq, Lkv) — per-head bias (ALiBi) — or (B, H, Lq, Lkv) — per-row
+    per-head (continuous batching with ALiBi).
 
     f32 softmax accumulation; GQA expands kv heads by repetition (an einsum
     reshape, so XLA keeps it as one batched matmul on the MXU).
@@ -139,10 +155,47 @@ def attention(
         "blhrd,bmhd->bhrlm", qg, k, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.float32(hd))
     if mask is not None:
-        scores = scores + mask[None, None, None, :, :]
+        Lkv = k.shape[1]
+        if mask.ndim == 2:
+            scores = scores + mask[None, None, None, :, :]
+        elif mask.ndim == 3:  # (H, Lq, Lkv)
+            scores = scores + mask.reshape(Hkv, rep, Lq, Lkv)[None]
+        else:  # (B, H, Lq, Lkv)
+            scores = scores + mask.reshape(B, Hkv, rep, Lq, Lkv)
     if kv_valid is not None:
         neg = jnp.finfo(jnp.float32).min
         scores = jnp.where(kv_valid[:, None, None, None, :], scores, neg)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhrlm,bmhd->blhrd", probs, v)
     return out.reshape(B, Lq, H, hd)
+
+
+def alibi_slopes(n_heads: int) -> jax.Array:
+    """ALiBi per-head slopes (Press et al.; HF Bloom build_alibi_tensor
+    semantics): geometric sequence based at 2^(-8/n) for the nearest power
+    of two, interleaved extras for non-power-of-two head counts."""
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start**i) for i in range(n)]
+
+    if math.log2(n_heads).is_integer():
+        s = pow2_slopes(n_heads)
+    else:
+        base = 2 ** math.floor(math.log2(n_heads))
+        s = pow2_slopes(base)
+        extra = pow2_slopes(2 * base)[0::2][: n_heads - base]
+        s = s + extra
+    return jnp.asarray(s, jnp.float32)
+
+
+def alibi_bias(
+    n_heads: int, q_pos: jax.Array, kv_len: int
+) -> jax.Array:
+    """Additive ALiBi bias (H, Lq, kv_len): slope_h * (k_pos - q_pos),
+    with k_pos > q_pos masked by the separate causal mask."""
+    slopes = alibi_slopes(n_heads)  # (H,)
+    k_pos = jnp.arange(kv_len, dtype=jnp.float32)
+    rel = k_pos[None, :] - q_pos.astype(jnp.float32)[:, None]  # (Lq, kv)
+    return slopes[:, None, None] * rel[None, :, :]

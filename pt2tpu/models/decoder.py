@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from .common import (
     DenseLinear,
+    alibi_bias,
     apply_linear,
     apply_rope,
     attention,
@@ -44,6 +45,8 @@ from .common import (
 
 __all__ = [
     "ModelConfig",
+    "build_mask",
+    "layer_view",
     "init_params",
     "forward",
     "layer_forward",
@@ -70,7 +73,7 @@ class ModelConfig:
     max_seq_len: int = 2048
     norm: str = "rmsnorm"  # "rmsnorm" | "layernorm"
     norm_eps: float = 1e-5
-    pos: str = "rope"  # "rope" | "learned"
+    pos: str = "rope"  # "rope" | "learned" | "alibi"
     rope_theta: float = 10000.0
     pos_offset: int = 0  # OPT's learned-position offset (2)
     act: str = "silu"  # "silu" | "gelu" | "relu"
@@ -78,6 +81,9 @@ class ModelConfig:
     linear_bias: bool = False  # biases on q/k/v/o/mlp projections
     qkv_bias: bool = False  # qwen-style: bias on q/k/v only
     tie_embeddings: bool = False
+    embed_scale: float = 1.0  # gemma multiplies embeddings by sqrt(dim)
+    norm_plus_one: bool = False  # gemma rmsnorm uses (1 + weight)
+    embed_norm: bool = False  # bloom layernorms the embeddings
 
     @property
     def kv_heads(self) -> int:
@@ -122,6 +128,8 @@ def _act(cfg: ModelConfig, x: jax.Array) -> jax.Array:
 
 def _norm(cfg: ModelConfig, x, w, b):
     if cfg.norm == "rmsnorm":
+        if cfg.norm_plus_one:
+            w = 1.0 + w.astype(jnp.float32)
         return rms_norm(x, w, cfg.norm_eps)
     return layer_norm(x, w, b, cfg.norm_eps)
 
@@ -172,6 +180,28 @@ def layer_slice(stacked, i: int):
     return jax.tree_util.tree_map(lambda x: x[i], stacked)
 
 
+def layer_view(stacked, li):
+    """Per-layer view for scan bodies: slice small leaves (norms, dense
+    weights, biases) but keep stacked PackedTernaryLinear leaves WHOLE —
+    their layer is selected inside the pallas kernel via scalar prefetch,
+    avoiding an HBM copy of the packed planes every scan step."""
+    from ..ops.ternary_matmul import PackedTernaryLinear
+
+    out = {}
+    for k, v in stacked.items():
+        if v is None:
+            out[k] = None
+        elif isinstance(v, PackedTernaryLinear):
+            out[k] = v  # stacked; consumed with layer_idx
+        elif isinstance(v, DenseLinear):
+            out[k] = DenseLinear(
+                w=v.w[li], b=None if v.b is None else v.b[li]
+            )
+        else:
+            out[k] = v[li]
+    return out
+
+
 def set_layer(stacked, i: int, layer):
     """Return stacked params with layer i replaced (pure)."""
     return jax.tree_util.tree_map(lambda s, l: s.at[i].set(l), stacked, layer)
@@ -184,6 +214,12 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
     params = {
         "embed": jax.random.normal(keys[-1], (cfg.vocab_size, cfg.dim)).astype(dtype)
         * 0.02,
+        "emb_ln_w": jnp.ones((cfg.dim,), dtype) if cfg.embed_norm else None,
+        "emb_ln_b": (
+            jnp.zeros((cfg.dim,), dtype)
+            if (cfg.embed_norm and cfg.norm == "layernorm")
+            else None
+        ),
         "pos_embed": (
             jax.random.normal(
                 keys[-2], (cfg.max_seq_len + cfg.pos_offset, cfg.dim)
@@ -205,15 +241,34 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
 
 
 # ----------------------------------------------------------- forward ----
+def build_mask(
+    cfg: ModelConfig,
+    q_len: int,
+    kv_len: int,
+    q_offset: int | jax.Array = 0,
+) -> jax.Array:
+    """Additive attention mask: causal, plus per-head ALiBi bias when
+    ``cfg.pos == 'alibi'`` (shape (H, Lq, Lkv); else (Lq, Lkv))."""
+    mask = causal_mask(q_len, kv_len, q_offset)
+    if cfg.pos == "alibi":
+        q_pos = q_offset + jnp.arange(q_len)
+        mask = mask[None] + alibi_bias(cfg.n_heads, q_pos, kv_len)
+    return mask
+
+
 def embed_tokens(
     cfg: ModelConfig, params, tokens: jax.Array, pos0: int | jax.Array = 0
 ) -> jax.Array:
     """(B, L) ids -> (B, L, D) hidden, including learned positions if any."""
     h = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.embed_scale != 1.0:
+        h = h * jnp.asarray(cfg.embed_scale, h.dtype)
     if cfg.pos == "learned":
         L = tokens.shape[1]
         pos = pos0 + jnp.arange(L) + cfg.pos_offset
         h = h + jnp.take(params["pos_embed"], pos, axis=0)[None]
+    if cfg.embed_norm:
+        h = _norm(cfg, h, params["emb_ln_w"], params["emb_ln_b"])
     return h
 
 
@@ -236,6 +291,7 @@ def layer_forward(
     kv_valid: Optional[jax.Array] = None,  # (B, M) bool
     return_taps: bool = False,
     impl: str = "auto",
+    layer_idx: Optional[jax.Array] = None,  # enables stacked-weight kernels
 ) -> Tuple[jax.Array, LayerIO]:
     """One decoder layer. Returns (output hidden, LayerIO).
 
@@ -251,9 +307,18 @@ def layer_forward(
     h = _norm(cfg, x, lp["ln1_w"], lp["ln1_b"])
     if return_taps:
         taps["attn_in"] = h
-    q = apply_linear(lp["q"], h, impl).reshape(B, L, H, hd)
-    k = apply_linear(lp["k"], h, impl).reshape(B, L, Hkv, hd)
-    v = apply_linear(lp["v"], h, impl).reshape(B, L, Hkv, hd)
+    if lp.get("qkv") is not None:
+        # Fused projection (quantized models): one kernel call, split output.
+        qkv = apply_linear(lp["qkv"], h, impl, layer_idx)
+        nq = H * hd
+        nkv = Hkv * hd
+        q = qkv[..., :nq].reshape(B, L, H, hd)
+        k = qkv[..., nq : nq + nkv].reshape(B, L, Hkv, hd)
+        v = qkv[..., nq + nkv :].reshape(B, L, Hkv, hd)
+    else:
+        q = apply_linear(lp["q"], h, impl, layer_idx).reshape(B, L, H, hd)
+        k = apply_linear(lp["k"], h, impl, layer_idx).reshape(B, L, Hkv, hd)
+        v = apply_linear(lp["v"], h, impl, layer_idx).reshape(B, L, Hkv, hd)
     if cfg.pos == "rope":
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -274,20 +339,24 @@ def layer_forward(
     ctx = ctx.reshape(B, L, H * hd)
     if return_taps:
         taps["o_in"] = ctx
-    x = x + apply_linear(lp["o"], ctx, impl)
+    x = x + apply_linear(lp["o"], ctx, impl, layer_idx)
 
     h = _norm(cfg, x, lp["ln2_w"], lp["ln2_b"])
     if return_taps:
         taps["mlp_in"] = h
-    if cfg.gated_mlp:
-        g = _act(cfg, apply_linear(lp["gate"], h, impl))
-        u = apply_linear(lp["up"], h, impl)
+    if lp.get("gateup") is not None:
+        gu = apply_linear(lp["gateup"], h, impl, layer_idx)
+        I = cfg.intermediate
+        mid = _act(cfg, gu[..., :I]) * gu[..., I:]
+    elif cfg.gated_mlp:
+        g = _act(cfg, apply_linear(lp["gate"], h, impl, layer_idx))
+        u = apply_linear(lp["up"], h, impl, layer_idx)
         mid = g * u
     else:
-        mid = _act(cfg, apply_linear(lp["up"], h, impl))
+        mid = _act(cfg, apply_linear(lp["up"], h, impl, layer_idx))
     if return_taps:
         taps["down_in"] = mid
-    x = x + apply_linear(lp["down"], mid, impl)
+    x = x + apply_linear(lp["down"], mid, impl, layer_idx)
 
     return x, LayerIO(kv=new_kv, taps=taps if return_taps else None)
 
@@ -311,15 +380,18 @@ def forward(
     """
     B, L = tokens.shape
     h = embed_tokens(cfg, params, tokens)
-    mask = causal_mask(L, L)
+    mask = build_mask(cfg, L, L)
     if cfg.pos == "rope":
         cos, sin = rope_tables(cfg.hd, L, cfg.rope_theta)
     else:
         cos = sin = jnp.zeros((L, 1), jnp.float32)
 
-    def body(x, lp):
-        y, _ = layer_forward(cfg, lp, x, cos, sin, mask, impl=impl)
+    def body(x, li):
+        lp = layer_view(params["layers"], li)
+        y, _ = layer_forward(
+            cfg, lp, x, cos, sin, mask, impl=impl, layer_idx=li
+        )
         return y, None
 
-    h, _ = jax.lax.scan(body, h, params["layers"])
+    h, _ = jax.lax.scan(body, h, jnp.arange(cfg.n_layers))
     return unembed(cfg, params, h)

@@ -96,6 +96,46 @@ def _gpt2(dim, n_layers, n_heads, vocab=50257, **kw):
     )
 
 
+def _gemma(dim, n_layers, n_heads, inter, head_dim, vocab=256000, **kw):
+    return ModelConfig(
+        family="gemma",
+        vocab_size=vocab,
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=kw.pop("n_kv", n_heads),
+        head_dim=head_dim,
+        intermediate=inter,
+        norm="rmsnorm",
+        norm_plus_one=True,  # gemma rmsnorm scales by (1 + w)
+        pos="rope",
+        act="gelu",  # GeGLU
+        gated_mlp=True,
+        embed_scale=float(dim) ** 0.5,
+        tie_embeddings=True,
+        **kw,
+    )
+
+
+def _bloom(dim, n_layers, n_heads, vocab=250880, **kw):
+    return ModelConfig(
+        family="bloom",
+        vocab_size=vocab,
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        intermediate=4 * dim,
+        norm="layernorm",
+        pos="alibi",
+        act="gelu",
+        gated_mlp=False,
+        linear_bias=True,
+        embed_norm=True,  # bloom layernorms the embedding output
+        tie_embeddings=True,
+        **kw,
+    )
+
+
 CONFIGS: Dict[str, ModelConfig] = {
     # BASELINE.json configs 1-5
     "opt-125m": _opt(768, 12, 12, 3072),
@@ -111,8 +151,14 @@ CONFIGS: Dict[str, ModelConfig] = {
         "qwen", 3584, 28, 28, 18944, n_kv=4, vocab=152064, qkv_bias=True,
         rope_theta=1000000.0,
     ),
+    "gemma-2b": _gemma(2048, 18, 8, 16384, head_dim=256, n_kv=1),
+    "bloom-560m": _bloom(1024, 24, 16),
     # Tiny configs for tests / CI (structurally identical to the big ones)
     "tiny-llama": _llama("llama2", 64, 2, 4, 128, vocab=256, max_seq_len=128),
+    "tiny-gemma": _gemma(
+        64, 2, 4, 128, head_dim=32, vocab=256, max_seq_len=128, n_kv=2
+    ),
+    "tiny-bloom": _bloom(64, 2, 4, vocab=256, max_seq_len=128),
     "tiny-llama-gqa": _llama(
         "llama2", 64, 2, 4, 128, n_kv=2, vocab=256, max_seq_len=128
     ),

@@ -33,7 +33,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ternary_matmul_pallas"]
+__all__ = ["ternary_matmul_pallas", "ternary_matmul_pallas_stacked"]
+
+
+def _pick_tile_n(n: int, want: int) -> int:
+    """Pick the output-feature tile: a 128-aligned divisor of n, preferring
+    the smallest one >= want (fewer, bigger grid steps), else the largest
+    available. Naive "largest divisor <= want" is catastrophic for
+    MXU-unfriendly n (n=11008 = 86*128 has no divisor near 2048; <=-clamping
+    picked 256 and made the grid 43 steps wide — measured ~5x slowdown on
+    the MLP projections)."""
+    divisors = [d for d in range(128, n + 1, 128) if n % d == 0]
+    at_least = [d for d in divisors if d >= want]
+    if at_least:
+        return at_least[0]
+    return divisors[-1]
 
 
 def _make_kernel(bps: int, bs: int):
@@ -83,6 +97,97 @@ def _make_kernel(bps: int, bs: int):
 @functools.partial(
     jax.jit, static_argnames=("block_size", "tile_n", "blocks_per_step")
 )
+def ternary_matmul_pallas_stacked(
+    x: jax.Array,
+    packed: jax.Array,  # (L, K//4, n) — ALL layers' planes, unsliced
+    alpha: jax.Array,  # (L, nb, n)
+    mu: jax.Array,  # (L, nb, n)
+    layer_idx: jax.Array,  # scalar int32
+    *,
+    block_size: int = 128,
+    tile_n: int = 2048,
+    blocks_per_step: int = 8,
+) -> jax.Array:
+    """Layer-indexed variant for scan-over-layers decode loops.
+
+    Inside ``lax.scan`` the per-layer weight slice of a stacked array cannot
+    fuse into an opaque pallas call, so XLA materializes an HBM->HBM copy of
+    every operand each layer (measured ~550 us/layer of pure copy at 7B —
+    more than the matmuls themselves). Here the kernel receives the WHOLE
+    stacked arrays and a scalar-prefetched layer index; the grid's index
+    maps select layer ``layer_idx``'s blocks directly, so nothing is ever
+    copied.
+    """
+    L, K4, n = packed.shape
+    K = K4 * 4
+    _, nb, n2 = alpha.shape
+    bs = block_size
+    if bs % 128 != 0 or K % bs != 0 or nb * bs != K or n2 != n:
+        raise ValueError(
+            f"bad shapes: packed {packed.shape}, alpha {alpha.shape}, bs {bs}"
+        )
+    if n % 128 != 0:
+        raise ValueError(f"out_features {n} must be a multiple of 128")
+    tn = _pick_tile_n(n, min(tile_n, n))
+    bps = min(blocks_per_step, nb)
+    while nb % bps != 0:
+        bps -= 1
+    bs4 = bs // 4
+
+    B = x.shape[0]
+    Bp = max(16, -(-B // 16) * 16)
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+    x = x.astype(jnp.bfloat16)
+
+    inner = _make_kernel(bps, bs)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // tn, nb // bps),
+        # Index maps receive (*grid_indices, *scalar_prefetch_refs).
+        in_specs=[
+            pl.BlockSpec(
+                (Bp, bps * bs), lambda i, j, li: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bps * bs4, tn),
+                lambda i, j, li: (li[0], j, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bps, tn),
+                lambda i, j, li: (li[0], j, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bps, tn),
+                lambda i, j, li: (li[0], j, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (Bp, tn), lambda i, j, li: (0, i), memory_space=pltpu.VMEM
+        ),
+    )
+
+    # Weight blocks carry a leading size-1 layer dim; view it away so the
+    # shared inner kernel sees 2-D refs.
+    def kernel_wrap(idx_ref, x_ref, packed_ref, alpha_ref, mu_ref, o_ref):
+        del idx_ref  # consumed by the index maps
+        inner(x_ref, packed_ref.at[0], alpha_ref.at[0], mu_ref.at[0], o_ref)
+
+    out = pl.pallas_call(
+        kernel_wrap,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.float32),
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x, packed, alpha, mu)
+    return out[:B]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "tile_n", "blocks_per_step")
+)
 def ternary_matmul_pallas(
     x: jax.Array,
     packed: jax.Array,
@@ -109,9 +214,7 @@ def ternary_matmul_pallas(
         )
     if n % 128 != 0:
         raise ValueError(f"out_features {n} must be a multiple of 128")
-    tn = min(tile_n, n)
-    while n % tn != 0:  # largest 128-aligned divisor of n below tile_n
-        tn -= 128
+    tn = _pick_tile_n(n, min(tile_n, n))
     bps = min(blocks_per_step, nb)
     while nb % bps != 0:
         bps -= 1

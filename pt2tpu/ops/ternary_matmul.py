@@ -39,10 +39,12 @@ from ..quant.gptq import TernaryLayerQuant
 
 __all__ = [
     "PackedTernaryLinear",
+    "make_packed_linear",
     "pack_layer",
     "apply_input_perm",
     "ternary_matmul_xla",
     "ternary_linear_apply",
+    "ternary_linear_apply_stacked",
 ]
 
 
@@ -203,6 +205,51 @@ def ternary_matmul_xla(
     out = jnp.einsum("bkn,kn->bn", t, alpha.astype(jnp.float32))
     out = out + jnp.einsum("bk,kn->bn", s, mu.astype(jnp.float32))
     return out
+
+
+def ternary_linear_apply_stacked(
+    p: PackedTernaryLinear,
+    x: jax.Array,
+    layer_idx: jax.Array,
+    impl: str = "auto",
+    out_dtype=None,
+) -> jax.Array:
+    """Layer-indexed apply for scan-over-layers loops: ``p``'s arrays carry a
+    leading ``n_layers`` dim and stay UNSLICED — the pallas kernel selects
+    layer ``layer_idx``'s blocks via scalar prefetch (slicing a stacked
+    array for an opaque pallas operand inside scan materializes an HBM copy
+    of the whole layer's weights every step)."""
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    m = x.shape[-1]
+    if m != p.in_features:
+        raise ValueError(f"input features {m} != layer in_features {p.in_features}")
+    x2 = x.reshape(-1, m)
+    perm_l = p.perm[layer_idx]  # (K,) — small dynamic row
+    xk = apply_input_perm(x2, perm_l, m)
+
+    L, K4, n = p.packed.shape
+    bs = K4 * 4 // p.alpha.shape[-2]
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and jax.default_backend() == "tpu"
+        and bs % 128 == 0
+        and n % 128 == 0
+    )
+    if use_pallas:
+        from .kernels.pallas_ternary import ternary_matmul_pallas_stacked
+
+        out = ternary_matmul_pallas_stacked(
+            xk, p.packed, p.alpha, p.mu, layer_idx, block_size=bs
+        )
+    else:
+        out = ternary_matmul_xla(
+            xk, p.packed[layer_idx], p.alpha[layer_idx], p.mu[layer_idx],
+            block_size=bs,
+        )
+    if p.bias is not None:
+        out = out + p.bias[layer_idx].astype(out.dtype)
+    return out.astype(out_dtype).reshape(*lead, n)
 
 
 def ternary_linear_apply(

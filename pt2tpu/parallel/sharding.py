@@ -30,7 +30,7 @@ from ..ops.ternary_matmul import PackedTernaryLinear
 
 __all__ = ["param_shardings", "shard_params", "batch_sharding"]
 
-_COL = {"q", "k", "v", "gate", "up"}  # column-parallel (out features sharded)
+_COL = {"q", "k", "v", "gate", "up", "qkv", "gateup"}  # column-parallel
 _ROW = {"o", "down"}  # row-parallel (in features sharded)
 
 
@@ -123,6 +123,11 @@ def param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
             else _linear_spec(params["lm_head"], mesh, "col")
         ),
     }
+    # Optional keys (embedding layernorm etc.): replicate any extra 1-D
+    # array entries so new param fields never break sharding.
+    for k, v in params.items():
+        if k not in out:
+            out[k] = None if v is None else _ns(mesh, *([None] * v.ndim))
     return out
 
 

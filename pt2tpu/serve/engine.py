@@ -72,19 +72,33 @@ def _decode_step(cfg, params, tokens, cache, positions, active, impl="auto"):
         cos = sin = jnp.zeros((B, 1, 1), jnp.float32)
 
     kv_valid = jnp.arange(M)[None, :] <= positions[:, None]  # (B, M)
+    mask = None
+    if cfg.pos == "alibi":
+        from ..models.common import alibi_slopes
+
+        slopes = alibi_slopes(cfg.n_heads)  # (H,)
+        rel = (
+            jnp.arange(M, dtype=jnp.float32)[None, :]
+            - positions.astype(jnp.float32)[:, None]
+        )  # (B, M)
+        mask = (slopes[None, :, None, None] * rel[:, None, None, :])  # (B,H,1,M)
     views = KVLayerView(
         k=cache.k, v=cache.v, k_scale=cache.k_scale, v_scale=cache.v_scale
     )
 
     def body(h, xs):
-        lp, kvl = xs
+        li, kvl = xs
+        lp = dec.layer_view(params["layers"], li)
         y, io = dec.layer_forward(
-            cfg, lp, h, cos, sin, None,
+            cfg, lp, h, cos, sin, mask,
             cache=kvl, cache_pos=positions, kv_valid=kv_valid, impl=impl,
+            layer_idx=li,
         )
         return y, io.kv
 
-    h, new_views = jax.lax.scan(body, x, (params["layers"], views))
+    h, new_views = jax.lax.scan(
+        body, x, (jnp.arange(cfg.n_layers), views)
+    )
     logits = dec.unembed(cfg, params, h)[:, 0]  # (B, V)
     nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     nxt = jnp.where(active, nxt, 0)
@@ -113,17 +127,21 @@ def _prefill_into_slot(cfg, params, prompt, true_len, cache, slot: int, impl="au
         cos, sin = cos_all[:Lb], sin_all[:Lb]
     else:
         cos = sin = jnp.zeros((Lb, 1), jnp.float32)
-    mask = dec.causal_mask(Lb, M)
+    mask = dec.build_mask(cfg, Lb, M)
     views = KVLayerView(k=tmp.k, v=tmp.v, k_scale=tmp.k_scale, v_scale=tmp.v_scale)
 
     def body(x, xs):
-        lp, kvl = xs
+        li, kvl = xs
+        lp = dec.layer_view(params["layers"], li)
         y, io = dec.layer_forward(
-            cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=0, impl=impl
+            cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=0, impl=impl,
+            layer_idx=li,
         )
         return y, io.kv
 
-    h, new_views = jax.lax.scan(body, h, (params["layers"], views))
+    h, new_views = jax.lax.scan(
+        body, h, (jnp.arange(cfg.n_layers), views)
+    )
     h_last = jax.lax.dynamic_slice_in_dim(h, true_len - 1, 1, axis=1)
     logits = dec.unembed(cfg, params, h_last)[:, 0]  # (1, V)
 

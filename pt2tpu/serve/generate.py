@@ -44,20 +44,24 @@ def forward_cached(
         sin = jax.lax.dynamic_slice_in_dim(sin_all, pos0, L)
     else:
         cos = sin = jnp.zeros((L, 1), jnp.float32)
-    mask = dec.causal_mask(L, M, q_offset=pos0)
+    mask = dec.build_mask(cfg, L, M, q_offset=pos0)
 
     views = KVLayerView(
         k=cache.k, v=cache.v, k_scale=cache.k_scale, v_scale=cache.v_scale
     )
 
     def body(x, xs):
-        lp, kvl = xs
+        li, kvl = xs
+        lp = dec.layer_view(params["layers"], li)
         y, io = dec.layer_forward(
-            cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=pos0, impl=impl
+            cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=pos0, impl=impl,
+            layer_idx=li,
         )
         return y, io.kv
 
-    h, new_views = jax.lax.scan(body, h, (params["layers"], views))
+    h, new_views = jax.lax.scan(
+        body, h, (jnp.arange(cfg.n_layers), views)
+    )
     logits = dec.unembed(cfg, params, h[:, -1:, :])[:, 0]
     return logits, cache.with_layers(new_views, pos0 + L)
 

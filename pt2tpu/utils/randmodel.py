@@ -59,25 +59,41 @@ def random_ternary_params(
     dtype=jnp.bfloat16,
     block_size: int = 128,
     scale_dtype=jnp.bfloat16,
+    fused: bool = True,
 ):
-    """Full decoder params with every projection pre-ternarized."""
+    """Full decoder params with every projection pre-ternarized.
+
+    ``fused=True`` emits the production layout (fused qkv / gate+up
+    containers — 4 kernel calls per layer); ``fused=False`` the
+    per-projection layout.
+    """
     params = dec.init_params(cfg, key, dtype=dtype)
     H, Hkv, hd, D, I = cfg.n_heads, cfg.kv_heads, cfg.hd, cfg.dim, cfg.intermediate
-    shapes = {
-        "q": (H * hd, D),
-        "k": (Hkv * hd, D),
-        "v": (Hkv * hd, D),
-        "o": (D, H * hd),
-        "up": (I, D),
-        "down": (D, I),
-    }
-    if cfg.gated_mlp:
-        shapes["gate"] = (I, D)
     qbias = cfg.linear_bias or cfg.qkv_bias
+    if fused:
+        shapes = {
+            "qkv": ((H + 2 * Hkv) * hd, D, qbias),
+            "o": (D, H * hd, cfg.linear_bias),
+            "down": (D, I, cfg.linear_bias),
+        }
+        if cfg.gated_mlp:
+            shapes["gateup"] = (2 * I, D, cfg.linear_bias)
+        else:
+            shapes["up"] = (I, D, cfg.linear_bias)
+    else:
+        shapes = {
+            "q": (H * hd, D, qbias),
+            "k": (Hkv * hd, D, qbias),
+            "v": (Hkv * hd, D, qbias),
+            "o": (D, H * hd, cfg.linear_bias),
+            "up": (I, D, cfg.linear_bias),
+            "down": (D, I, cfg.linear_bias),
+        }
+        if cfg.gated_mlp:
+            shapes["gate"] = (I, D, cfg.linear_bias)
 
     layers = []
     keys = jax.random.split(key, cfg.n_layers)
-    base = dec.layer_slice(params["layers"], 0)
     for li in range(cfg.n_layers):
         lkeys = jax.random.split(keys[li], len(shapes))
         lp = {
@@ -85,12 +101,11 @@ def random_ternary_params(
             for k, v in dec.layer_slice(params["layers"], li).items()
             if k.startswith("ln")
         }
-        for (name, (o, i)), lk in zip(sorted(shapes.items()), lkeys):
-            has_bias = cfg.linear_bias or (qbias and name in ("q", "k", "v"))
+        for (name, (o, i, has_bias)), lk in zip(sorted(shapes.items()), lkeys):
             lp[name] = random_ternary_linear(
                 lk, o, i, block_size, has_bias, scale_dtype
             )
-        if not cfg.gated_mlp:
+        if not fused and not cfg.gated_mlp:
             lp["gate"] = None
         layers.append(lp)
     params["layers"] = dec.stack_layers(layers)

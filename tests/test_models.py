@@ -10,7 +10,7 @@ from pt2tpu.models import get_config
 from pt2tpu.models.registry import get_model_type
 
 
-@pytest.fixture(params=["tiny-llama", "tiny-llama-gqa", "tiny-opt", "tiny-gpt2"])
+@pytest.fixture(params=["tiny-llama", "tiny-llama-gqa", "tiny-opt", "tiny-gpt2", "tiny-gemma", "tiny-bloom"])
 def model(request):
     cfg = get_config(request.param)
     params = dec.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
@@ -48,7 +48,7 @@ def test_scan_matches_per_layer_loop(model):
 
     h = dec.embed_tokens(cfg, params, toks)
     L = toks.shape[1]
-    mask = dec.causal_mask(L, L)
+    mask = dec.build_mask(cfg, L, L)
     if cfg.pos == "rope":
         cos, sin = dec.rope_tables(cfg.hd, L, cfg.rope_theta)
     else:
@@ -67,7 +67,7 @@ def test_taps_feed_linears(model):
     toks = jax.random.randint(jax.random.PRNGKey(4), (2, 8), 0, cfg.vocab_size)
     h = dec.embed_tokens(cfg, params, toks)
     L = toks.shape[1]
-    mask = dec.causal_mask(L, L)
+    mask = dec.build_mask(cfg, L, L)
     if cfg.pos == "rope":
         cos, sin = dec.rope_tables(cfg.hd, L, cfg.rope_theta)
     else:
@@ -80,12 +80,7 @@ def test_taps_feed_linears(model):
         t = taps[dec.TAP_OF_LINEAR[n]]
         assert t.shape[-1] == lp[n].in_features, (n, t.shape)
     # attn_in really is the ln1 output: recompute directly
-    from pt2tpu.models.common import layer_norm, rms_norm
-
-    if cfg.norm == "rmsnorm":
-        want = rms_norm(h, lp["ln1_w"], cfg.norm_eps)
-    else:
-        want = layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.norm_eps)
+    want = dec._norm(cfg, h, lp["ln1_w"], lp["ln1_b"])
     np.testing.assert_allclose(
         np.asarray(taps["attn_in"]), np.asarray(want), rtol=1e-5, atol=1e-6
     )

@@ -29,9 +29,12 @@ def quantized_tiny():
 def test_quantized_structure(quantized_tiny):
     cfg, params, qparams, report = quantized_tiny
     layers = qparams["layers"]
-    for name in dec.LINEAR_NAMES:
+    # default pipeline fuses qkv and gate+up into single projections
+    for name in ("qkv", "o", "gateup", "down"):
         assert isinstance(layers[name], PackedTernaryLinear), name
         assert layers[name].packed.shape[0] > 0
+    for gone in ("q", "k", "v", "gate", "up"):
+        assert gone not in layers
     # embeddings / head stay dense (reference scope: only decoder linears)
     assert qparams["embed"].dtype == params["embed"].dtype
     assert len(report["layers"]) == cfg.n_layers
@@ -92,7 +95,7 @@ def test_resume_from_partial(quantized_tiny):
         start_layer=1,
         prequantized_layers=[l0],
     )
-    for name in dec.LINEAR_NAMES:
+    for name in ("qkv", "o", "gateup", "down"):
         a = np.asarray(dec.layer_slice(resumed["layers"], 1)[name].packed)
         b = np.asarray(dec.layer_slice(qparams["layers"], 1)[name].packed)
         np.testing.assert_array_equal(a, b)
@@ -101,3 +104,25 @@ def test_resume_from_partial(quantized_tiny):
             cfg, params, jnp.asarray(calib), qcfg, start_layer=2,
             prequantized_layers=[l0],
         )
+
+
+def test_unfused_pipeline_keeps_reference_layout(rng):
+    """fuse_projections=False preserves the reference's per-projection
+    quantization (one Hessian per linear, separate perms)."""
+    from pt2tpu.data import get_calibration_data
+
+    cfg = get_config("tiny-llama").with_(n_layers=1)
+    params = dec.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    calib, _ = get_calibration_data(
+        "synthetic", cfg.vocab_size, num_samples=4, seq_len=32, seed=1
+    )
+    qp, _ = quantize_model(
+        cfg, params, jnp.asarray(calib),
+        QuantConfig(block_size=32, batch_size=4, fuse_projections=False),
+    )
+    layers = qp["layers"]
+    for name in dec.LINEAR_NAMES:
+        assert isinstance(layers[name], PackedTernaryLinear), name
+    toks = jax.random.randint(jax.random.PRNGKey(3), (1, 16), 0, cfg.vocab_size)
+    out = dec.forward(cfg, qp, toks, impl="xla")
+    assert bool(jnp.isfinite(out).all())

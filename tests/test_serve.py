@@ -12,7 +12,7 @@ from pt2tpu.serve import greedy_generate, init_cache, prefill, forward_cached
 from pt2tpu.serve.kvcache import _quantize_i8
 
 
-@pytest.fixture(params=["tiny-llama", "tiny-llama-gqa", "tiny-opt"])
+@pytest.fixture(params=["tiny-llama", "tiny-llama-gqa", "tiny-opt", "tiny-bloom"])
 def model(request):
     cfg = get_config(request.param)
     params = dec.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
