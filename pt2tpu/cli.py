@@ -134,6 +134,19 @@ def cmd_eval(args):
     _eval_params(cfg, params, args, tok)
 
 
+def _maybe_shard(params, tp: int):
+    if tp <= 1:
+        return params
+    from .parallel import make_mesh, shard_params
+
+    n = len(jax.devices())
+    if n % tp != 0:
+        raise SystemExit(f"--tp {tp} does not divide {n} devices")
+    mesh = make_mesh({"data": n // tp, "model": tp})
+    print(f"sharding over mesh {dict(mesh.shape)}", file=sys.stderr)
+    return shard_params(params, mesh)
+
+
 def cmd_generate(args):
     from .utils.checkpoint import load_model
 
@@ -142,6 +155,7 @@ def cmd_generate(args):
     else:
         dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
         cfg, params, _ = _resolve_model(args.model, dtype, args.seed)
+    params = _maybe_shard(params, args.tp)
 
     tok = _load_tokenizer(args.tokenizer)
     if args.prompt_ids:
@@ -225,6 +239,7 @@ def build_parser():
     g.add_argument("--temperature", type=float, default=0.0)
     g.add_argument("--top_k", type=int, default=0)
     g.add_argument("--top_p", type=float, default=1.0)
+    g.add_argument("--tp", type=int, default=1, help="tensor-parallel ways")
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--tokenizer", default=None)
     g.set_defaults(fn=cmd_generate)
