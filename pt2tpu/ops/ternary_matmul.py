@@ -33,6 +33,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.packing import unpack_ternary
 from ..quant.gptq import TernaryLayerQuant
@@ -73,15 +74,17 @@ class PackedTernaryLinear:
     perm: jax.Array
     bias: Optional[jax.Array]
     in_features: int  # static: original m (pre-padding)
+    identity_perm: bool = False  # static: perm is [0..K) with pad->m tail
 
     def tree_flatten(self):
         return (self.packed, self.alpha, self.mu, self.perm, self.bias), (
             self.in_features,
+            self.identity_perm,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, in_features=aux[0])
+        return cls(*children, in_features=aux[0], identity_perm=aux[1])
 
     @property
     def block_size(self) -> int:
@@ -124,6 +127,15 @@ def make_packed_linear(
             perm, (0, pad_blocks * block_size), constant_values=in_features
         )
     packed = pack_ternary(codes, block_size=block_size)
+    # Static fast-path flag: a pure [0..m) + pad-slot permutation lets the
+    # apply skip the runtime activation gather (a zero pad to lane count
+    # suffices). Checked on the host at pack time.
+    K = int(perm.shape[0])
+    perm_np = np.asarray(perm)
+    identity = bool(
+        (perm_np[: in_features] == np.arange(in_features)).all()
+        and (perm_np[in_features:] == in_features).all()
+    )
     return PackedTernaryLinear(
         packed=packed,
         alpha=alpha.astype(scale_dtype),
@@ -131,6 +143,7 @@ def make_packed_linear(
         perm=perm.astype(jnp.int32),
         bias=bias,
         in_features=in_features,
+        identity_perm=identity,
     )
 
 
@@ -225,10 +238,14 @@ def ternary_linear_apply_stacked(
     if m != p.in_features:
         raise ValueError(f"input features {m} != layer in_features {p.in_features}")
     x2 = x.reshape(-1, m)
-    perm_l = p.perm[layer_idx]  # (K,) — small dynamic row
-    xk = apply_input_perm(x2, perm_l, m)
-
     L, K4, n = p.packed.shape
+    K = K4 * 4
+    if p.identity_perm:
+        xk = x2 if K == m else jnp.pad(x2, ((0, 0), (0, K - m)))
+    else:
+        perm_l = p.perm[layer_idx]  # (K,) — small dynamic row
+        xk = apply_input_perm(x2, perm_l, m)
+
     bs = K4 * 4 // p.alpha.shape[-2]
     use_pallas = impl == "pallas" or (
         impl == "auto"
@@ -268,7 +285,11 @@ def ternary_linear_apply(
     if m != p.in_features:
         raise ValueError(f"input features {m} != layer in_features {p.in_features}")
     x2 = x.reshape(-1, m)
-    xk = apply_input_perm(x2, p.perm, m)  # (B, K)
+    K = p.packed.shape[0] * 4
+    if p.identity_perm:
+        xk = x2 if K == m else jnp.pad(x2, ((0, 0), (0, K - m)))
+    else:
+        xk = apply_input_perm(x2, p.perm, m)  # (B, K)
 
     bs = p.block_size
     use_pallas = impl == "pallas" or (

@@ -84,6 +84,7 @@ def _ternary_spec(
         perm=perm,
         bias=bias,
         in_features=lin.in_features,
+        identity_perm=lin.identity_perm,  # aux data must match the params tree
     )
 
 

@@ -50,6 +50,7 @@ def _flatten(prefix: str, tree, out: Dict[str, Any], manifest: Dict[str, Any]):
         manifest[prefix] = {
             "kind": "ternary",
             "in_features": tree.in_features,
+            "identity_perm": bool(tree.identity_perm),
             "has_bias": tree.bias is not None,
         }
         out[f"{prefix}.packed"] = tree.packed
@@ -85,6 +86,7 @@ def _unflatten(prefix: str, manifest, arrays) -> Any:
             perm=arrays[f"{prefix}.perm"],
             bias=arrays.get(f"{prefix}.bias"),
             in_features=info["in_features"],
+            identity_perm=bool(info.get("identity_perm", False)),
         )
     if kind == "dense":
         return DenseLinear(w=arrays[f"{prefix}.w"], b=arrays.get(f"{prefix}.b"))
