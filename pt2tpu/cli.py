@@ -188,6 +188,29 @@ def cmd_generate(args):
         print(",".join(map(str, ids_out)))
 
 
+def cmd_serve(args):
+    from .serve.server import ServingServer
+    from .utils.checkpoint import load_model
+
+    if os.path.exists(os.path.join(args.model, "manifest.json")):
+        cfg, params = load_model(args.model)
+    else:
+        dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+        cfg, params, _ = _resolve_model(args.model, dtype, args.seed)
+    params = _maybe_shard(params, args.tp)
+    srv = ServingServer(
+        cfg, params, host=args.host, port=args.port,
+        max_batch=args.max_batch, max_len=args.max_len, kv_quant=args.kv_int8,
+    ).start()
+    print(f"serving on http://{args.host}:{srv.port} "
+          f"(POST /generate, GET /health); ctrl-c to stop")
+    try:
+        while True:
+            time.sleep(1)
+    except KeyboardInterrupt:
+        srv.stop()
+
+
 def cmd_info(args):
     with open(os.path.join(args.model, "manifest.json")) as f:
         manifest = json.load(f)
@@ -243,6 +266,17 @@ def build_parser():
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--tokenizer", default=None)
     g.set_defaults(fn=cmd_generate)
+
+    sv = sub.add_parser("serve", help="HTTP serving front-end")
+    sv.add_argument("--model", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8471)
+    sv.add_argument("--max-batch", type=int, default=8)
+    sv.add_argument("--max-len", type=int, default=2048)
+    sv.add_argument("--kv-int8", action="store_true")
+    sv.add_argument("--tp", type=int, default=1)
+    sv.add_argument("--seed", type=int, default=42)
+    sv.set_defaults(fn=cmd_serve)
 
     i = sub.add_parser("info", help="inspect an artifact")
     i.add_argument("--model", required=True)

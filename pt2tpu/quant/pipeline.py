@@ -115,6 +115,7 @@ def quantize_model(
     start_layer: int = 0,
     prequantized_layers: Optional[List[Any]] = None,
     journal_dir: Optional[str] = None,
+    mesh=None,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Ternarize every decoder-layer projection of a model.
 
@@ -126,9 +127,21 @@ def quantize_model(
     completes and any journaled prefix is loaded on entry — a preempted run
     resumes at the first un-journaled layer.
 
+    ``mesh``: optional Mesh — calibration batches shard over 'data' and
+    weight matrices over 'model' during quantization (GSPMD partitions the
+    Hessian accumulation and the GPTQ engine; results are bit-identical to
+    the single-device run, see tests/test_parallel.py).
+
     Returns (quantized params, report dict).
     """
     log = log or MetricsLogger(verbose=False)
+    if mesh is not None:
+        from ..parallel.sharding import batch_sharding, shard_params
+
+        params = shard_params(params, mesh)
+        calib_tokens = jax.device_put(
+            jnp.asarray(calib_tokens), batch_sharding(mesh)
+        )
     if journal_dir and prequantized_layers is None and start_layer == 0:
         from ..utils.checkpoint import load_layers
 

@@ -167,8 +167,15 @@ def save_model(
         json.dump(manifest, f, indent=1)
 
 
-def load_model(path: str) -> Tuple[dec.ModelConfig, Dict[str, Any]]:
-    """Load an artifact directory -> (ModelConfig, params pytree)."""
+def load_model(
+    path: str, mesh=None
+) -> Tuple[dec.ModelConfig, Dict[str, Any]]:
+    """Load an artifact directory -> (ModelConfig, params pytree).
+
+    ``mesh``: optional jax.sharding.Mesh — parameters are placed with the
+    framework's tensor/data-parallel rules directly at load (no replicated
+    intermediate copy on device 0).
+    """
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
     if manifest["format_version"] != _FORMAT_VERSION:
@@ -176,6 +183,10 @@ def load_model(path: str) -> Tuple[dec.ModelConfig, Dict[str, Any]]:
     cfg = dec.ModelConfig(**manifest["model_config"])
     arrays = _read_npz(os.path.join(path, "arrays.npz"))
     params = _unflatten("", manifest["structure"], arrays)
+    if mesh is not None:
+        from ..parallel.sharding import shard_params
+
+        params = shard_params(params, mesh)
     return cfg, params
 
 

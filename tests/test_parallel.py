@@ -98,3 +98,44 @@ def test_sharded_decode_runs():
         greedy_generate(cfg, sp, prompt_s, max_new=4, max_len=16, impl="xla")
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_pipeline_bit_identical():
+    """quantize_model(mesh=...) must reproduce the single-device codes."""
+    from pt2tpu.data import get_calibration_data
+    from pt2tpu.quant import QuantConfig, quantize_model
+
+    cfg = get_config("tiny-llama").with_(n_layers=1)
+    params = dec.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    calib, _ = get_calibration_data(
+        "synthetic", cfg.vocab_size, num_samples=8, seq_len=32, seed=0
+    )
+    qcfg = QuantConfig(block_size=32, batch_size=8)
+    qp1, _ = quantize_model(cfg, params, jnp.asarray(calib), qcfg)
+    mesh = make_mesh({"data": 2, "model": 4})
+    qp2, _ = quantize_model(cfg, params, jnp.asarray(calib), qcfg, mesh=mesh)
+    for name in ("qkv", "o", "gateup", "down"):
+        a = np.asarray(dec.layer_slice(qp1["layers"], 0)[name].packed)
+        b = np.asarray(dec.layer_slice(qp2["layers"], 0)[name].packed)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_mesh_aware_artifact_load(tmp_path):
+    """load_model(mesh=...) places parameters with the TP rules directly."""
+    from pt2tpu.utils.checkpoint import load_model, save_model
+    from pt2tpu.utils.randmodel import random_ternary_params
+
+    cfg = get_config("tiny-llama")
+    params = random_ternary_params(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.float32, block_size=32,
+        scale_dtype=jnp.float32,
+    )
+    save_model(str(tmp_path / "art"), cfg, params)
+    mesh = make_mesh({"data": 2, "model": 4})
+    cfg2, sp = load_model(str(tmp_path / "art"), mesh=mesh)
+    qkv = sp["layers"]["qkv"]
+    assert len(qkv.packed.sharding.device_set) == 8
+    toks = jnp.zeros((2, 4), jnp.int32)
+    want = np.asarray(dec.forward(cfg, params, toks, impl="xla"))
+    got = np.asarray(dec.forward(cfg2, sp, toks, impl="xla"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
