@@ -181,7 +181,17 @@ class ServeEngine:
         self.positions = np.zeros(max_batch, np.int32)  # next write position
         self.tokens = np.zeros(max_batch, np.int32)  # next token to feed
         self._uid = 0
-        self.stats = {"admitted": 0, "completed": 0, "steps": 0}
+        import time as _time
+
+        self._time = _time
+        self._t0 = _time.time()
+        self.stats = {
+            "admitted": 0,
+            "completed": 0,
+            "steps": 0,
+            "tokens": 0,
+            "tokens_per_s": 0.0,
+        }
 
     def submit(
         self, prompt, max_new: int, eos_id: Optional[int] = None
@@ -261,7 +271,10 @@ class ServeEngine:
             self.positions[slot] += 1
             self.tokens[slot] = nxt[slot]
             self.slots[slot].out.append(int(nxt[slot]))
+            self.stats["tokens"] += 1
             self._maybe_finish(slot)
+        elapsed = max(self._time.time() - self._t0, 1e-9)
+        self.stats["tokens_per_s"] = round(self.stats["tokens"] / elapsed, 2)
         return True
 
     def run(self, max_steps: int = 100000) -> None:
