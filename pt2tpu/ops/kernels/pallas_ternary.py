@@ -129,9 +129,14 @@ def ternary_matmul_pallas_stacked(
     if n % 128 != 0:
         raise ValueError(f"out_features {n} must be a multiple of 128")
     tn = _pick_tile_n(n, min(tile_n, n))
+    # bps must divide nb AND keep scale tiles (bps, tn) 8-sublane aligned
+    # (nb is a multiple of 8 by pack-time padding, so bps=8 always works).
     bps = min(blocks_per_step, nb)
-    while nb % bps != 0:
+    while nb % bps != 0 or (bps % 8 != 0 and bps != nb):
         bps -= 1
+        if bps == 0:
+            bps = nb
+            break
     bs4 = bs // 4
 
     B = x.shape[0]
@@ -215,9 +220,14 @@ def ternary_matmul_pallas(
     if n % 128 != 0:
         raise ValueError(f"out_features {n} must be a multiple of 128")
     tn = _pick_tile_n(n, min(tile_n, n))
+    # bps must divide nb AND keep scale tiles (bps, tn) 8-sublane aligned
+    # (nb is a multiple of 8 by pack-time padding, so bps=8 always works).
     bps = min(blocks_per_step, nb)
-    while nb % bps != 0:
+    while nb % bps != 0 or (bps % 8 != 0 and bps != nb):
         bps -= 1
+        if bps == 0:
+            bps = nb
+            break
     bs4 = bs // 4
 
     B = x.shape[0]

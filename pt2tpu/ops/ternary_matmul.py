@@ -88,11 +88,12 @@ class PackedTernaryLinear:
 
     @property
     def block_size(self) -> int:
-        return (self.packed.shape[0] * 4) // self.alpha.shape[0]
+        # shape[-2]/[-1]: robust to a leading stacked-layers dim
+        return (self.packed.shape[-2] * 4) // self.alpha.shape[-2]
 
     @property
     def out_features(self) -> int:
-        return self.packed.shape[1]
+        return self.packed.shape[-1]
 
 
 def make_packed_linear(

@@ -66,7 +66,7 @@ def model_bits_per_weight(params) -> float:
             # layout is a Mosaic tile requirement re-applied at load time.
             n = leaf.packed.shape[-1]
             lead = leaf.packed.size // (leaf.packed.shape[-2] * n)
-            bs = leaf.packed.shape[-2] * 4 // leaf.alpha.shape[-2]
+            bs = leaf.block_size
             real_nb = -(-leaf.in_features // bs)
             total_weights += lead * leaf.in_features * n
             total_bits += lead * real_nb * (bs // 4) * n * 8  # packed planes
