@@ -50,6 +50,54 @@ def _pick_tile_n(n: int, want: int) -> int:
     return divisors[-1]
 
 
+def _vmem_estimate(tn: int, bps: int, bs: int, Bp: int) -> int:
+    """Rough per-step VMEM bytes: double-buffered inputs + output tile +
+    in-kernel temporaries (int32 planes, bf16 code tile, f32 acc)."""
+    bs4 = bs // 4
+    packed2 = 2 * bps * bs4 * tn  # int8, 2 buffers
+    scales2 = 2 * 2 * bps * tn * 2  # alpha+mu bf16, 2 buffers
+    x2 = 2 * Bp * bps * bs * 2
+    out = 2 * Bp * tn * 4
+    temps = bs * tn * 2 + 4 * bs4 * tn * 4 + 2 * Bp * tn * 4
+    return packed2 + scales2 + x2 + out + temps
+
+
+def _pick_tiles(n: int, nb: int, bs: int, Bp: int, want_tn: int, want_bps: int):
+    """(tile_n, blocks_per_step) honoring divisibility, 8-alignment, and a
+    ~12 MB VMEM budget (16 MB physical; headroom for the pipeline).
+
+    Bigger steps matter: fixed per-grid-step cost ~1.2 us dominated the
+    decode path at small tiles (117 us/layer at 4096x16 vs 177 at 2048x8
+    measured at llama-2-7b dims)."""
+    budget = 12 * 1024 * 1024
+    tn = _pick_tile_n(n, min(want_tn, n))
+    tn_divisors = sorted(
+        (d for d in range(128, n + 1, 128) if n % d == 0), reverse=True
+    )
+
+    def bps_candidates():
+        c = [b for b in range(8, nb + 1, 8) if nb % b == 0]
+        if nb not in c:
+            c.append(nb)
+        return sorted(c, reverse=True)
+
+    bps = max(
+        (b for b in bps_candidates() if b <= max(want_bps, 8)), default=nb
+    )
+    # Shrink bps, then tn, until the step fits the budget.
+    while _vmem_estimate(tn, bps, bs, Bp) > budget:
+        smaller_bps = [b for b in bps_candidates() if b < bps]
+        if smaller_bps:
+            bps = smaller_bps[0]
+            continue
+        smaller_tn = [d for d in tn_divisors if d < tn]
+        if smaller_tn:
+            tn = smaller_tn[0]
+            continue
+        break  # minimal config; let Mosaic report if it truly can't fit
+    return tn, bps
+
+
 def _make_kernel(bps: int, bs: int):
     bs4 = bs // 4
 
@@ -105,8 +153,8 @@ def ternary_matmul_pallas_stacked(
     layer_idx: jax.Array,  # scalar int32
     *,
     block_size: int = 128,
-    tile_n: int = 2048,
-    blocks_per_step: int = 8,
+    tile_n: int = 4096,
+    blocks_per_step: int = 16,
 ) -> jax.Array:
     """Layer-indexed variant for scan-over-layers decode loops.
 
@@ -128,19 +176,10 @@ def ternary_matmul_pallas_stacked(
         )
     if n % 128 != 0:
         raise ValueError(f"out_features {n} must be a multiple of 128")
-    tn = _pick_tile_n(n, min(tile_n, n))
-    # bps must divide nb AND keep scale tiles (bps, tn) 8-sublane aligned
-    # (nb is a multiple of 8 by pack-time padding, so bps=8 always works).
-    bps = min(blocks_per_step, nb)
-    while nb % bps != 0 or (bps % 8 != 0 and bps != nb):
-        bps -= 1
-        if bps == 0:
-            bps = nb
-            break
-    bs4 = bs // 4
-
     B = x.shape[0]
     Bp = max(16, -(-B // 16) * 16)
+    tn, bps = _pick_tiles(n, nb, bs, Bp, tile_n, blocks_per_step)
+    bs4 = bs // 4
     if Bp != B:
         x = jnp.pad(x, ((0, Bp - B), (0, 0)))
     x = x.astype(jnp.bfloat16)
@@ -200,8 +239,8 @@ def ternary_matmul_pallas(
     mu: jax.Array,
     *,
     block_size: int = 128,
-    tile_n: int = 2048,
-    blocks_per_step: int = 8,
+    tile_n: int = 4096,
+    blocks_per_step: int = 16,
 ) -> jax.Array:
     """out = x @ dequant(packed, alpha, mu); (B, K) x (K//4, n) -> (B, n) f32.
 
@@ -219,19 +258,10 @@ def ternary_matmul_pallas(
         )
     if n % 128 != 0:
         raise ValueError(f"out_features {n} must be a multiple of 128")
-    tn = _pick_tile_n(n, min(tile_n, n))
-    # bps must divide nb AND keep scale tiles (bps, tn) 8-sublane aligned
-    # (nb is a multiple of 8 by pack-time padding, so bps=8 always works).
-    bps = min(blocks_per_step, nb)
-    while nb % bps != 0 or (bps % 8 != 0 and bps != nb):
-        bps -= 1
-        if bps == 0:
-            bps = nb
-            break
-    bs4 = bs // 4
-
     B = x.shape[0]
-    Bp = max(16, -(-B // 16) * 16)  # bf16 sublane tile
+    Bp = max(16, -(-B // 16) * 16)
+    tn, bps = _pick_tiles(n, nb, bs, Bp, tile_n, blocks_per_step)
+    bs4 = bs // 4  # bf16 sublane tile
     if Bp != B:
         x = jnp.pad(x, ((0, Bp - B), (0, 0)))
     x = x.astype(jnp.bfloat16)

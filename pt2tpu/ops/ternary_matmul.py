@@ -105,14 +105,16 @@ def make_packed_linear(
     in_features: int,
     block_size: int,
     scale_dtype=jnp.bfloat16,
-    block_multiple: int = 8,
+    block_multiple: int = 16,
 ) -> PackedTernaryLinear:
     """Pack codes + scales into the inference layout.
 
-    The scale-block count is padded to a multiple of ``block_multiple``
-    (Mosaic requires scale-tile sublane dims divisible by 8): pad blocks get
-    zero alpha/mu — which neutralizes whatever their codes decode to — and
-    their perm lanes point at the zero activation slot (index m).
+    The scale-block count is padded to a multiple of ``block_multiple``:
+    Mosaic requires scale-tile sublane dims divisible by 8, and 16 gives the
+    kernel a 16-block step size even for awkward counts (nb=86 -> 96 instead
+    of 88, halving the k-grid). Pad blocks get zero alpha/mu — which
+    neutralizes whatever their codes decode to — and their perm lanes point
+    at the zero activation slot (index m).
     """
     from ..core.packing import pack_ternary
 

@@ -66,9 +66,49 @@ def random_ternary_params(
     ``fused=True`` emits the production layout (fused qkv / gate+up
     containers — 4 kernel calls per layer); ``fused=False`` the
     per-projection layout.
+
+    Builds the non-projection parts directly instead of going through
+    ``init_params`` — a 7B dense init would materialize ~13.4 GB of bf16
+    projection weights on device just to throw them away (OOMs next to the
+    packed model on a 16 GB chip).
     """
-    params = dec.init_params(cfg, key, dtype=dtype)
     H, Hkv, hd, D, I = cfg.n_heads, cfg.kv_heads, cfg.hd, cfg.dim, cfg.intermediate
+    k_emb, k_pos, k_head, key = jax.random.split(key, 4)
+    ln_b = jnp.zeros((D,), dtype) if cfg.norm == "layernorm" else None
+    params = {
+        "embed": jax.random.normal(k_emb, (cfg.vocab_size, D)).astype(dtype) * 0.02,
+        "emb_ln_w": jnp.ones((D,), dtype) if cfg.embed_norm else None,
+        "emb_ln_b": (
+            jnp.zeros((D,), dtype)
+            if (cfg.embed_norm and cfg.norm == "layernorm")
+            else None
+        ),
+        "pos_embed": (
+            jax.random.normal(
+                k_pos, (cfg.max_seq_len + cfg.pos_offset, D)
+            ).astype(dtype) * 0.02
+            if cfg.pos == "learned"
+            else None
+        ),
+        "lnf_w": jnp.ones((D,), dtype),
+        "lnf_b": ln_b,
+        "lm_head": (
+            None
+            if cfg.tie_embeddings
+            else DenseLinear(
+                w=(jax.random.normal(k_head, (cfg.vocab_size, D)) / D**0.5).astype(dtype),
+                b=None,
+            )
+        ),
+    }
+
+    def base_layer():
+        return {
+            "ln1_w": jnp.ones((D,), dtype),
+            "ln1_b": ln_b,
+            "ln2_w": jnp.ones((D,), dtype),
+            "ln2_b": ln_b,
+        }
     qbias = cfg.linear_bias or cfg.qkv_bias
     if fused:
         shapes = {
@@ -96,11 +136,7 @@ def random_ternary_params(
     keys = jax.random.split(key, cfg.n_layers)
     for li in range(cfg.n_layers):
         lkeys = jax.random.split(keys[li], len(shapes))
-        lp = {
-            k: v
-            for k, v in dec.layer_slice(params["layers"], li).items()
-            if k.startswith("ln")
-        }
+        lp = base_layer()
         for (name, (o, i, has_bias)), lk in zip(sorted(shapes.items()), lkeys):
             lp[name] = random_ternary_linear(
                 lk, o, i, block_size, has_bias, scale_dtype
