@@ -20,6 +20,8 @@ from .core.ternary import (
     quantization_error,
 )
 from .core.ssr import (
+    apply_permutation,
+    apply_permutation_to_input,
     block_variance,
     cosine_similarity_matrix,
     select_block,
@@ -27,6 +29,12 @@ from .core.ssr import (
     static_reorder_indices,
 )
 from .core.packing import pack_ternary, unpack_ternary
+from .utils.metrics import (
+    compression_ratio,
+    model_bits_per_weight,
+    model_size_gb,
+    set_seed,
+)
 from .quant.hessian import HessianAccumulator, accumulate_hessian, damped_inverse
 from .quant.gptq import (
     TernaryLayerQuant,
@@ -44,6 +52,8 @@ __all__ = [
     "dequantize",
     "quantization_error",
     "output_error",
+    "apply_permutation",
+    "apply_permutation_to_input",
     "cosine_similarity_matrix",
     "similarity_to_mean",
     "select_block",
@@ -51,6 +61,10 @@ __all__ = [
     "block_variance",
     "pack_ternary",
     "unpack_ternary",
+    "compression_ratio",
+    "model_bits_per_weight",
+    "model_size_gb",
+    "set_seed",
     "HessianAccumulator",
     "accumulate_hessian",
     "damped_inverse",

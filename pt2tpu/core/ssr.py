@@ -36,6 +36,8 @@ __all__ = [
     "similarity_to_mean",
     "select_block",
     "static_reorder_indices",
+    "apply_permutation",
+    "apply_permutation_to_input",
     "block_variance",
 ]
 
@@ -131,6 +133,17 @@ def static_reorder_indices(W: jax.Array, block_size: int = 128) -> jax.Array:
 
     perm, _, _ = jax.lax.fori_loop(1, m, body, (perm0, selected0, simsum0))
     return perm
+
+
+def apply_permutation(W: jax.Array, perm: jax.Array) -> jax.Array:
+    """Column permutation W' = W P (ref reorder.py:192-194)."""
+    return W[:, perm]
+
+
+def apply_permutation_to_input(X: jax.Array, perm: jax.Array) -> jax.Array:
+    """Feature permutation of activations (ref reorder.py:197-204);
+    accepts any leading batch/sequence dims."""
+    return jnp.take(X, perm, axis=-1)
 
 
 def block_variance(W: jax.Array, block_size: int) -> jax.Array:

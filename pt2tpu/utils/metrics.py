@@ -11,7 +11,7 @@ import sys
 import time
 from typing import Any, Dict, Optional
 
-__all__ = ["MetricsLogger", "model_bits_per_weight"]
+__all__ = ["MetricsLogger", "model_bits_per_weight", "model_size_gb", "compression_ratio", "set_seed"]
 
 
 class MetricsLogger:
@@ -76,3 +76,33 @@ def model_bits_per_weight(params) -> float:
     if total_weights == 0:
         return 16.0  # ref utils.py:282-283 fallback
     return total_bits / total_weights
+
+
+def model_size_gb(params) -> float:
+    """Total parameter/buffer bytes in GB (reference metric, model.py:293-303)."""
+    import jax
+
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        if hasattr(leaf, "size") and hasattr(leaf, "dtype"):
+            total += leaf.size * leaf.dtype.itemsize
+    return total / (1024**3)
+
+
+def compression_ratio(original_gb: float, quantized_gb: float) -> float:
+    """ref model.py:306-308 — here it is a real ratio because the artifact
+    stores packed planes, not dequantized fp16 (SURVEY.md §2.4-6)."""
+    return original_gb / max(quantized_gb, 1e-12)
+
+
+def set_seed(seed: int = 42):
+    """Seed host-side RNGs and return a jax PRNGKey (reference utils.py:15-21;
+    jax randomness is explicit-key, so the key is the real handle)."""
+    import random
+
+    import jax
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
