@@ -105,6 +105,13 @@ def main():
     tok_s = bench_decode(cfg, tparams, args.prompt, args.new, impl, args.reps)
     print(f"ternary {cfg.n_layers}L: {tok_s:.2f} tok/s", file=sys.stderr)
     del tparams
+    # Release the ternary model + compiled programs before the dense probes
+    # (otherwise the 7B dense baseline OOMs next to retained state).
+    import gc
+
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
 
     vs = None
     if time.time() - t_start > args.time_budget:
