@@ -102,7 +102,7 @@ def _make_kernel(bps: int, bs: int):
     bs4 = bs // 4
 
     def _kernel(x_ref, packed_ref, alpha_ref, mu_ref, o_ref):
-        j = pl.program_id(1)
+        j = pl.program_id(2)  # k-step (innermost)
 
         @pl.when(j == 0)
         def _():
@@ -177,8 +177,9 @@ def ternary_matmul_pallas_stacked(
     if n % 128 != 0:
         raise ValueError(f"out_features {n} must be a multiple of 128")
     B = x.shape[0]
-    Bp = max(16, -(-B // 16) * 16)
-    tn, bps = _pick_tiles(n, nb, bs, Bp, tile_n, blocks_per_step)
+    tb = min(max(16, -(-B // 16) * 16), 256)
+    Bp = -(-B // tb) * tb
+    tn, bps = _pick_tiles(n, nb, bs, tb, tile_n, blocks_per_step)
     bs4 = bs // 4
     if Bp != B:
         x = jnp.pad(x, ((0, Bp - B), (0, 0)))
@@ -188,30 +189,30 @@ def ternary_matmul_pallas_stacked(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n // tn, nb // bps),
+        grid=(Bp // tb, n // tn, nb // bps),
         # Index maps receive (*grid_indices, *scalar_prefetch_refs).
         in_specs=[
             pl.BlockSpec(
-                (Bp, bps * bs), lambda i, j, li: (0, j), memory_space=pltpu.VMEM
+                (tb, bps * bs), lambda b, i, j, li: (b, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, bps * bs4, tn),
-                lambda i, j, li: (li[0], j, i),
+                lambda b, i, j, li: (li[0], j, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, bps, tn),
-                lambda i, j, li: (li[0], j, i),
+                lambda b, i, j, li: (li[0], j, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, bps, tn),
-                lambda i, j, li: (li[0], j, i),
+                lambda b, i, j, li: (li[0], j, i),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (Bp, tn), lambda i, j, li: (0, i), memory_space=pltpu.VMEM
+            (tb, tn), lambda b, i, j, li: (b, i), memory_space=pltpu.VMEM
         ),
     )
 
@@ -259,30 +260,38 @@ def ternary_matmul_pallas(
     if n % 128 != 0:
         raise ValueError(f"out_features {n} must be a multiple of 128")
     B = x.shape[0]
-    Bp = max(16, -(-B // 16) * 16)
-    tn, bps = _pick_tiles(n, nb, bs, Bp, tile_n, blocks_per_step)
-    bs4 = bs // 4  # bf16 sublane tile
+    # Batch rows are tiled too (prefill/eval run thousands of rows; an
+    # all-rows output tile would blow VMEM). tb caps the row tile at 256.
+    tb = min(max(16, -(-B // 16) * 16), 256)
+    Bp = -(-B // tb) * tb
+    tn, bps = _pick_tiles(n, nb, bs, tb, tile_n, blocks_per_step)
+    bs4 = bs // 4
     if Bp != B:
         x = jnp.pad(x, ((0, Bp - B), (0, 0)))
     x = x.astype(jnp.bfloat16)
 
-    grid = (n // tn, nb // bps)
+    grid = (Bp // tb, n // tn, nb // bps)
     out = pl.pallas_call(
         _make_kernel(bps, bs),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Bp, bps * bs), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bps * bs4, tn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bps, tn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bps, tn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tb, bps * bs), lambda b, i, j: (b, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bps * bs4, tn), lambda b, i, j: (j, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((bps, tn), lambda b, i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bps, tn), lambda b, i, j: (j, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (Bp, tn), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            (tb, tn), lambda b, i, j: (b, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * K * n,
-            bytes_accessed=K4 * n + Bp * K * 2 * (n // tn) + 2 * nb * n * 2 + Bp * n * 4,
+            bytes_accessed=(Bp // tb) * K4 * n + Bp * K * 2 * (n // tn)
+            + 2 * nb * n * 2 + Bp * n * 4,
             transcendentals=0,
         ),
     )(x, packed, alpha, mu)
