@@ -17,6 +17,7 @@ program (prefill + lax.scan over decode steps); best-of-N wall times.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -79,7 +80,10 @@ def main():
         help="skip the dense baseline if the ternary phase already consumed "
         "this many seconds (tunnel compile latency is highly variable)",
     )
+    ap.add_argument("--dense-probe", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
+    if args.dense_probe:
+        return _dense_probe_main(args)
     t_start = time.time()
 
     from pt2tpu.models import decoder as dec
@@ -133,47 +137,54 @@ def main():
     print(json.dumps(rec))
 
 
-def _dense_baseline(cfg, args):
+def _dense_probe(cfg, args, n_layers):
     from pt2tpu.models import decoder as dec
 
-    hbm = 0
-    try:
-        hbm = jax.devices()[0].memory_stats().get("bytes_limit", 0)
-    except Exception:
-        pass
-    # dense bf16 param bytes: ~2 * (emb + head + layers * per-layer)
-    per_layer = 2 * (
-        (2 * cfg.n_heads * cfg.hd + 2 * cfg.kv_heads * cfg.hd) * cfg.dim
-        + (3 if cfg.gated_mlp else 2) * cfg.dim * cfg.intermediate
-    )
-    fixed = 2 * 2 * cfg.vocab_size * cfg.dim
-    full_bytes = fixed + cfg.n_layers * per_layer
+    c = cfg.with_(n_layers=n_layers)
+    p = dec.init_params(c, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    return bench_decode(c, p, args.prompt, args.new, "xla", args.reps)
 
-    def run(n_layers):
-        c = cfg.with_(n_layers=n_layers)
-        p = dec.init_params(c, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
-        r = bench_decode(c, p, args.prompt, args.new, "xla", args.reps)
-        del p
-        return r
 
-    if not hbm or full_bytes < 0.8 * hbm:
-        t = run(cfg.n_layers)
-        print(f"dense {cfg.n_layers}L: {t:.2f} tok/s", file=sys.stderr)
-        return t
-    # Extrapolate: decode step time is affine in layer count. Keep the
-    # probe models small — compiles through the device tunnel are minutes.
+def _dense_baseline(cfg, args):
+    """Dense bf16 decode tok/s, measured in a SUBPROCESS: the experimental
+    device backend does not reliably release the ternary model's buffers in
+    this process (two 7B probes OOMed after jax.clear_caches + gc)."""
+    import json as _json
+    import subprocess
+
     l1, l2 = 2, 6
-    t1, t2 = run(l1), run(l2)
-    s1, s2 = args.new / t1, args.new / t2  # total seconds per run
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--model", args.model, "--prompt", str(args.prompt),
+        "--new", str(args.new), "--reps", str(args.reps),
+        "--dense-probe", f"{l1},{l2},{cfg.n_layers}",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=2400)
+    for line in r.stdout.splitlines():
+        if line.startswith("{"):
+            rec = _json.loads(line)
+            print(
+                f"dense extrapolated {cfg.n_layers}L: "
+                f"{rec['dense_tok_s']:.2f} tok/s (subprocess)",
+                file=sys.stderr,
+            )
+            return rec["dense_tok_s"]
+    raise RuntimeError(f"dense probe subprocess failed: {r.stderr[-500:]}")
+
+
+def _dense_probe_main(args):
+    """Hidden mode: measure dense decode at two depths, extrapolate, print."""
+    from pt2tpu.models import get_config
+
+    l1, l2, full = map(int, args.dense_probe.split(","))
+    cfg = get_config(args.model)
+    cfg = cfg.with_(max_seq_len=max(cfg.max_seq_len, args.prompt + args.new))
+    t1 = _dense_probe(cfg, args, l1)
+    t2 = _dense_probe(cfg, args, l2)
+    s1, s2 = args.new / t1, args.new / t2  # seconds per args.new tokens
     per_layer_s = (s2 - s1) / (l2 - l1)
-    s_full = s1 + per_layer_s * (cfg.n_layers - l1)
-    tok_s = args.new / s_full
-    print(
-        f"dense extrapolated {cfg.n_layers}L: {tok_s:.2f} tok/s "
-        f"(from {l1}L/{l2}L)",
-        file=sys.stderr,
-    )
-    return tok_s
+    s_full = s1 + per_layer_s * (full - l1)
+    print(json.dumps({"dense_tok_s": args.new / s_full}))
 
 
 if __name__ == "__main__":
