@@ -27,8 +27,6 @@ All ops are jax-traceable and run on CPU or TPU.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,7 @@ The perplexity protocol (data/evaluate.py) consumes the same streams.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ Python loop with HF ``labels=`` losses.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

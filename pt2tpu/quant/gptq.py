@@ -26,7 +26,7 @@ there and dequantization scatters only valid lanes.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ Reference behavior being reproduced (TPU-idiomatically):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
