@@ -74,6 +74,12 @@ def main():
     ap.add_argument("--prompt", type=int, default=32)
     ap.add_argument("--new", type=int, default=64)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--perms", default="ssr", choices=["ssr", "identity"],
+        help="ssr (default): realistic post-fold layout — packed one-hot MXU "
+        "gathers on qkv/o/gateup, folded down (what quant/fold.py emits for "
+        "a real SSR model); identity: no permutations (upper bound)",
+    )
     ap.add_argument("--no-dense", action="store_true", help="skip dense baseline")
     ap.add_argument(
         "--time-budget", type=float, default=1500.0,
@@ -105,9 +111,14 @@ def main():
     cfg = cfg.with_(max_seq_len=max(cfg.max_seq_len, args.prompt + args.new))
     impl = "auto"
 
-    tparams = random_ternary_params(cfg, jax.random.PRNGKey(0))
+    tparams = random_ternary_params(
+        cfg, jax.random.PRNGKey(0), perm_mode=args.perms
+    )
     tok_s = bench_decode(cfg, tparams, args.prompt, args.new, impl, args.reps)
-    print(f"ternary {cfg.n_layers}L: {tok_s:.2f} tok/s", file=sys.stderr)
+    print(
+        f"ternary {cfg.n_layers}L ({args.perms} perms): {tok_s:.2f} tok/s",
+        file=sys.stderr,
+    )
     del tparams
     # Release the ternary model + compiled programs before the dense probes
     # (otherwise the 7B dense baseline OOMs next to retained state).

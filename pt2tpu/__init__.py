@@ -42,6 +42,7 @@ from .quant.gptq import (
     quantize_layer_weights,
     ternary_gptq,
 )
+from .quant.fold import fold_layer_perms
 
 __version__ = "0.1.0"
 
@@ -72,4 +73,5 @@ __all__ = [
     "ternary_gptq",
     "quantize_layer_weights",
     "dequantize_layer",
+    "fold_layer_perms",
 ]

@@ -19,10 +19,17 @@ never formed. Two implementations share this contract:
     streams only 0.25 B/weight + bf16 scales from HBM.
 
 Input-permutation contract: GPTQ emits codes in SSR visit order with
-``perm[k]`` = original column (quant/gptq.py). The activation gather
-``x[..., perm]`` happens once per layer on the (small) activation, never on
-the weights — pad lanes point at a zero slot (index m), so the mu-offset
-term is exact even for ragged layers.
+``perm[k]`` = original column (quant/gptq.py). The activation reordering
+happens once per layer on the (small) activation, never on the weights —
+pad lanes point at a zero slot (index m), so the mu-offset term is exact
+even for ragged layers. Three mechanisms, fastest applicable wins:
+
+  * ``input_folded`` — the producing projection's output lanes were
+    permuted at pack time (quant/fold.py), so the input already arrives in
+    visit order: zero runtime cost.
+  * ``gather`` — a :class:`~pt2tpu.ops.gather.PackedGather`: the
+    permutation runs as a packed one-hot MXU matmul (~HBM-rate).
+  * ``perm`` index gather — the fallback ``jnp.take`` form.
 """
 
 from __future__ import annotations
@@ -37,6 +44,7 @@ import numpy as np
 
 from ..core.packing import unpack_ternary
 from ..quant.gptq import TernaryLayerQuant
+from .gather import PackedGather, apply_input_perm, gather_apply
 
 __all__ = [
     "PackedTernaryLinear",
@@ -66,6 +74,18 @@ class PackedTernaryLinear:
       mu:     (nb, n) offset per (block, out_feature)
       perm:   (K,) int32 visit-lane -> original in_feature; pad lanes -> m
       bias:   (n,) or None
+      gather: optional PackedGather realizing ``perm`` as a packed one-hot
+              MXU matmul (ops/gather.py); ``perm`` is retained regardless
+              for fallback paths and artifact inspection.
+
+    Static fold flags (set by quant/fold.py):
+      input_folded — the producer's output lanes were permuted offline, so
+              inputs arrive pre-gathered in visit order (perm still records
+              the mapping for dequantization).
+      out_folded — this layer's OUTPUT lanes were permuted to feed a
+              downstream ``input_folded`` consumer; its dequantized weight
+              rows are in the consumer's visit order (recover the order
+              from the consumer's perm).
     """
 
     packed: jax.Array
@@ -75,16 +95,30 @@ class PackedTernaryLinear:
     bias: Optional[jax.Array]
     in_features: int  # static: original m (pre-padding)
     identity_perm: bool = False  # static: perm is [0..K) with pad->m tail
+    gather: Optional[PackedGather] = None
+    input_folded: bool = False  # static
+    out_folded: bool = False  # static
 
     def tree_flatten(self):
-        return (self.packed, self.alpha, self.mu, self.perm, self.bias), (
-            self.in_features,
-            self.identity_perm,
-        )
+        return (
+            self.packed,
+            self.alpha,
+            self.mu,
+            self.perm,
+            self.bias,
+            self.gather,
+        ), (self.in_features, self.identity_perm, self.input_folded, self.out_folded)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, in_features=aux[0], identity_perm=aux[1])
+        return cls(
+            *children[:5],
+            gather=children[5],
+            in_features=aux[0],
+            identity_perm=aux[1],
+            input_folded=aux[2],
+            out_folded=aux[3],
+        )
 
     @property
     def block_size(self) -> int:
@@ -174,15 +208,22 @@ def pack_layer(
     )
 
 
-def apply_input_perm(x: jax.Array, perm: jax.Array, in_features: int) -> jax.Array:
-    """Gather activations into visit-lane order: (..., m) -> (..., K).
-
-    A zero column is appended at index m so pad lanes (perm == m) read 0 —
-    this keeps the per-block mu * sum(x_block) term exact on ragged layers.
-    """
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, 1)]
-    x_pad = jnp.pad(x, pad)
-    return jnp.take(x_pad, perm, axis=-1)
+def _input_lanes(
+    p: PackedTernaryLinear,
+    x2: jax.Array,  # (B, m)
+    K: int,
+    impl: str,
+    layer_idx: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Present activations in visit-lane order (B, K) — fold / MXU gather /
+    index gather, in that preference order (see class docstring)."""
+    m = x2.shape[-1]
+    if p.identity_perm or p.input_folded:
+        return x2 if K == m else jnp.pad(x2, ((0, 0), (0, K - m)))
+    if p.gather is not None:
+        return gather_apply(p.gather, x2, impl, layer_idx)
+    perm = p.perm if layer_idx is None else p.perm[layer_idx]
+    return apply_input_perm(x2, perm, m)
 
 
 @functools.partial(jax.jit, static_argnames=("block_size",))
@@ -243,11 +284,7 @@ def ternary_linear_apply_stacked(
     x2 = x.reshape(-1, m)
     L, K4, n = p.packed.shape
     K = K4 * 4
-    if p.identity_perm:
-        xk = x2 if K == m else jnp.pad(x2, ((0, 0), (0, K - m)))
-    else:
-        perm_l = p.perm[layer_idx]  # (K,) — small dynamic row
-        xk = apply_input_perm(x2, perm_l, m)
+    xk = _input_lanes(p, x2, K, impl, layer_idx)
 
     bs = K4 * 4 // p.alpha.shape[-2]
     use_pallas = impl == "pallas" or (
@@ -289,10 +326,7 @@ def ternary_linear_apply(
         raise ValueError(f"input features {m} != layer in_features {p.in_features}")
     x2 = x.reshape(-1, m)
     K = p.packed.shape[0] * 4
-    if p.identity_perm:
-        xk = x2 if K == m else jnp.pad(x2, ((0, 0), (0, K - m)))
-    else:
-        xk = apply_input_perm(x2, p.perm, m)  # (B, K)
+    xk = _input_lanes(p, x2, K, impl)  # (B, K)
 
     bs = p.block_size
     use_pallas = impl == "pallas" or (

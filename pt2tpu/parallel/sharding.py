@@ -26,6 +26,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.common import DenseLinear
+from ..ops.gather import PackedGather
 from ..ops.ternary_matmul import PackedTernaryLinear
 
 __all__ = ["param_shardings", "shard_params", "batch_sharding"]
@@ -71,20 +72,36 @@ def _ternary_spec(
         alpha = _fit(mesh, lin.alpha, [None, "model"])
         mu = _fit(mesh, lin.mu, [None, "model"])
         bias = None if lin.bias is None else _fit(mesh, lin.bias, ["model"])
+        # Column-parallel: contraction lanes (K) replicated, so the one-hot
+        # gather matrix replicates too.
+        gtail = [None, None]
     else:  # row
         packed = _fit(mesh, lin.packed, ["model", None])
         alpha = _fit(mesh, lin.alpha, ["model", None])
         mu = _fit(mesh, lin.mu, ["model", None])
         bias = None if lin.bias is None else _fit(mesh, lin.bias, [None])
+        # Row-parallel: contraction lanes sharded on 'model' -> each shard
+        # only needs its K-range of the gather's output columns.
+        gtail = [None, "model"]
     perm = _fit(mesh, lin.perm, [None])  # replicated
+    gather = None
+    if lin.gather is not None:
+        gather = PackedGather(
+            packed=_fit(mesh, lin.gather.packed, gtail),
+            perm=_fit(mesh, lin.gather.perm, [None]),
+            in_features=lin.gather.in_features,
+        )
     return PackedTernaryLinear(
         packed=packed,
         alpha=alpha,
         mu=mu,
         perm=perm,
         bias=bias,
+        gather=gather,
         in_features=lin.in_features,
         identity_perm=lin.identity_perm,  # aux data must match the params tree
+        input_folded=lin.input_folded,
+        out_folded=lin.out_folded,
     )
 
 

@@ -1,0 +1,165 @@
+"""Offline SSR-permutation folding — zero-gather inference layouts.
+
+SSR (quant/gptq.py) reorders each projection's input columns, so at
+inference the activations must be presented in visit-lane order. The
+reference pays for this on every forward with an activation gather AND a
+weight inverse-permutation (ref model.py:84-90). This module removes the
+runtime cost at pack time, per projection:
+
+  * ``down`` — its input ``mid = act(gate(h)) * up(h)`` is elementwise in
+    the feature dim, so permuting the *output lanes* of gate/up (free: lane
+    relabeling of packed planes + scales + bias) makes ``mid`` arrive
+    already in down's visit order. Exact, zero runtime cost, zero quality
+    change. Requires down's valid lanes to be a contiguous prefix
+    (always true when in_features % block_size == 0 — all production dims).
+
+  * ``qkv`` / ``o`` / ``gateup`` (and unfused q/k/v/gate/up) — their inputs
+    are attention/norm outputs on the residual stream, which must stay in
+    one global feature order, so a runtime reorder is unavoidable. It is
+    attached as a :class:`~pt2tpu.ops.gather.PackedGather`: a packed
+    one-hot MXU matmul at ~HBM rate instead of a VPU lane gather.
+
+    (o's permutation could in principle fold into v's output lanes, but
+    only when it is head-preserving — attention applies per-head weights —
+    which SSR's free column clustering essentially never is; we keep SSR's
+    full quality and pay the one MXU gather.)
+
+Why not fold qkv's permutation into the residual stream: each layer wants a
+*different* order, and the residual add forces one consistent order per
+stream position; any transition between orders is itself a gather.
+
+Folding happens per layer inside the quantization pipeline (before
+journaling), so artifacts are stored pre-folded and resume/serve see the
+folded layout transparently.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..models.common import DenseLinear
+from ..ops.gather import make_packed_gather
+from ..ops.ternary_matmul import PackedTernaryLinear
+
+__all__ = ["fold_layer_perms", "foldable_prefix_perm", "permute_out"]
+
+# Projections whose input permutation can only be realized at runtime.
+_GATHER_TARGETS = ("qkv", "q", "k", "v", "o", "gateup", "gate", "up")
+
+
+def foldable_prefix_perm(p: PackedTernaryLinear) -> Optional[np.ndarray]:
+    """Return sigma = perm[:m] if the valid lanes form a contiguous prefix
+    covering every original column exactly once; else None.
+
+    With SSR and m % block_size == 0 every lane is valid, so this always
+    holds for production dims; ragged layers (m % bs != 0) interleave pad
+    lanes and cannot be realized by relabeling a producer's m outputs.
+    """
+    perm_np = np.asarray(p.perm)
+    m = p.in_features
+    if perm_np.ndim != 1 or perm_np.shape[0] < m:
+        return None
+    if not (perm_np[m:] == m).all():
+        return None
+    sigma = perm_np[:m].astype(np.int64)
+    seen = np.zeros(m, dtype=bool)
+    seen[sigma] = True
+    if not seen.all():
+        return None
+    return sigma
+
+
+def permute_out(lin: Any, sigma: np.ndarray) -> Any:
+    """Relabel a projection's output features: new output j = old sigma[j].
+
+    Free at pack time: packed planes / scales / bias permute along the lane
+    (output-feature) axis; a DenseLinear permutes weight rows.
+    """
+    idx = np.asarray(sigma, dtype=np.int64)
+    if isinstance(lin, DenseLinear):
+        return DenseLinear(
+            w=lin.w[idx, :], b=None if lin.b is None else lin.b[idx]
+        )
+    if isinstance(lin, PackedTernaryLinear):
+        if lin.packed.ndim != 2:
+            raise ValueError("permute_out operates on pre-stack (2-D) layers")
+        return dataclasses.replace(
+            lin,
+            packed=lin.packed[:, idx],
+            alpha=lin.alpha[:, idx],
+            mu=lin.mu[:, idx],
+            bias=None if lin.bias is None else lin.bias[idx],
+            out_folded=True,
+        )
+    raise TypeError(f"cannot permute outputs of {type(lin).__name__}")
+
+
+def _attach_gather(p: PackedTernaryLinear) -> PackedTernaryLinear:
+    g = make_packed_gather(p.perm, p.in_features)
+    # identity_perm is cleared so every layer of a stacked model carries the
+    # same static structure (a true-identity SSR perm is measure-zero, but
+    # stacking requires uniform aux data); the one-hot of an identity perm
+    # is still exact.
+    return dataclasses.replace(p, gather=g, identity_perm=False)
+
+
+def fold_layer_perms(
+    cfg: Any,  # models.decoder.ModelConfig (duck-typed: gated_mlp)
+    lp: Dict[str, Any],
+    force_gather: bool = False,
+) -> Dict[str, Any]:
+    """Fold/realize every SSR permutation of one (pre-stack) decoder layer.
+
+    ``force_gather``: attach a PackedGather to every gather-target
+    projection even if its perm happens to be identity — keeps the stacked
+    pytree structure uniform across layers (pass use_ssr here).
+    """
+    lp = dict(lp)
+
+    down = lp.get("down")
+    if isinstance(down, PackedTernaryLinear) and not (
+        down.identity_perm or down.input_folded
+    ):
+        sigma = foldable_prefix_perm(down)
+        I = down.in_features
+        producer_ok = False
+        if sigma is not None:
+            gu = lp.get("gateup")
+            gate, up = lp.get("gate"), lp.get("up")
+            if gu is not None and getattr(gu, "out_features", None) == 2 * I:
+                lp["gateup"] = permute_out(gu, np.concatenate([sigma, I + sigma]))
+                producer_ok = True
+            elif cfg.gated_mlp and gate is not None and up is not None:
+                lp["gate"] = permute_out(gate, sigma)
+                lp["up"] = permute_out(up, sigma)
+                producer_ok = True
+            elif not cfg.gated_mlp and up is not None:
+                lp["up"] = permute_out(up, sigma)
+                producer_ok = True
+        if producer_ok:
+            lp["down"] = dataclasses.replace(down, input_folded=True)
+        else:
+            lp["down"] = _attach_gather(down)
+    elif isinstance(down, PackedTernaryLinear) and force_gather and not (
+        down.input_folded or down.gather is not None
+    ):
+        # Uniform structure even when fold already made this lane-exact is
+        # impossible (identity perm): down always folds or gathers.
+        sigma = foldable_prefix_perm(down)
+        if sigma is not None and np.array_equal(sigma, np.arange(I_ := down.in_features)):
+            lp["down"] = dataclasses.replace(down, input_folded=True)
+        else:
+            lp["down"] = _attach_gather(down)
+
+    for name in _GATHER_TARGETS:
+        p = lp.get(name)
+        if not isinstance(p, PackedTernaryLinear) or p.gather is not None:
+            continue
+        if p.identity_perm and not force_gather:
+            continue
+        lp[name] = _attach_gather(p)
+
+    return lp

@@ -55,6 +55,10 @@ class QuantConfig:
     fuse_projections: bool = True  # quantize qkv (and gate+up) jointly:
     # they share inputs hence Hessians; one matrix -> one perm -> one
     # fused kernel call at inference (7 -> 4 calls per decoder layer)
+    fold_perms: bool = True  # bake SSR perms into the packed layout at pack
+    # time (quant/fold.py): down's perm folds into gate/up output lanes for
+    # free; the rest become packed one-hot MXU gathers instead of VPU
+    # lane gathers. Exact — changes layout, not math.
 
 
 def quantize_linear(
@@ -239,6 +243,10 @@ def quantize_model(
                     new_lp.pop(m, None)
             layer_report[gname] = stats
             log.emit("layer_quantized", layer=li, proj=gname, **stats)
+        if qcfg.fold_perms:
+            from .fold import fold_layer_perms
+
+            new_lp = fold_layer_perms(cfg, new_lp, force_gather=qcfg.use_ssr)
         report["layers"].append(layer_report)
 
         # Propagate quantized outputs as the next layer's inputs.

@@ -28,6 +28,7 @@ import numpy as np
 
 from ..models import decoder as dec
 from ..models.common import DenseLinear
+from ..ops.gather import PackedGather
 from ..ops.ternary_matmul import PackedTernaryLinear
 
 __all__ = ["save_model", "load_model", "save_layer", "load_layers"]
@@ -52,6 +53,11 @@ def _flatten(prefix: str, tree, out: Dict[str, Any], manifest: Dict[str, Any]):
             "in_features": tree.in_features,
             "identity_perm": bool(tree.identity_perm),
             "has_bias": tree.bias is not None,
+            "input_folded": bool(tree.input_folded),
+            "out_folded": bool(tree.out_folded),
+            "gather_in_features": (
+                None if tree.gather is None else tree.gather.in_features
+            ),
         }
         out[f"{prefix}.packed"] = tree.packed
         out[f"{prefix}.alpha"] = tree.alpha
@@ -59,6 +65,9 @@ def _flatten(prefix: str, tree, out: Dict[str, Any], manifest: Dict[str, Any]):
         out[f"{prefix}.perm"] = tree.perm
         if tree.bias is not None:
             out[f"{prefix}.bias"] = tree.bias
+        if tree.gather is not None:
+            out[f"{prefix}.gather.packed"] = tree.gather.packed
+            out[f"{prefix}.gather.perm"] = tree.gather.perm
     elif isinstance(tree, DenseLinear):
         manifest[prefix] = {"kind": "dense", "has_bias": tree.b is not None}
         out[f"{prefix}.w"] = tree.w
@@ -79,14 +88,24 @@ def _unflatten(prefix: str, manifest, arrays) -> Any:
     if kind == "none":
         return None
     if kind == "ternary":
+        gather = None
+        if info.get("gather_in_features") is not None:
+            gather = PackedGather(
+                packed=arrays[f"{prefix}.gather.packed"],
+                perm=arrays[f"{prefix}.gather.perm"],
+                in_features=info["gather_in_features"],
+            )
         return PackedTernaryLinear(
             packed=arrays[f"{prefix}.packed"],
             alpha=arrays[f"{prefix}.alpha"],
             mu=arrays[f"{prefix}.mu"],
             perm=arrays[f"{prefix}.perm"],
             bias=arrays.get(f"{prefix}.bias"),
+            gather=gather,
             in_features=info["in_features"],
             identity_perm=bool(info.get("identity_perm", False)),
+            input_folded=bool(info.get("input_folded", False)),
+            out_folded=bool(info.get("out_folded", False)),
         )
     if kind == "dense":
         return DenseLinear(w=arrays[f"{prefix}.w"], b=arrays.get(f"{prefix}.b"))

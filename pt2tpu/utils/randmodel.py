@@ -28,29 +28,53 @@ def random_ternary_linear(
     block_size: int = 128,
     bias: bool = False,
     scale_dtype=jnp.bfloat16,
+    perm_mode: str = "identity",  # "identity" | "ssr" | "folded"
 ) -> PackedTernaryLinear:
+    """``perm_mode`` mimics the inference cost profile of a real model:
+    "ssr" draws a random permutation and attaches the packed one-hot MXU
+    gather (what quant/fold.py emits for qkv/o/gateup); "folded" marks the
+    layer input_folded (what fold emits for down — producer lanes permuted
+    offline, zero runtime cost)."""
     bs = min(block_size, in_features)
     while in_features % bs != 0 and bs > 4:
         bs //= 2
     nb = in_features // bs
     K = nb * bs
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     codes = jax.random.randint(k1, (out_features, K), -1, 2, dtype=jnp.int8)
     scale = 1.0 / math.sqrt(in_features)
     alpha = scale * (0.8 + 0.4 * jax.random.uniform(k2, (nb, out_features)))
     mu = 0.02 * scale * jax.random.normal(k3, (nb, out_features))
     from ..ops.ternary_matmul import make_packed_linear
 
-    return make_packed_linear(
+    if perm_mode == "ssr":
+        perm = jax.random.permutation(k4, in_features).astype(jnp.int32)
+        perm = jnp.pad(perm, (0, K - in_features), constant_values=in_features)
+    else:
+        perm = jnp.arange(K, dtype=jnp.int32)
+    p = make_packed_linear(
         codes=codes,
         alpha=alpha,
         mu=mu,
-        perm=jnp.arange(K, dtype=jnp.int32),
+        perm=perm,
         bias=jnp.zeros((out_features,), jnp.float32) if bias else None,
         in_features=in_features,
         block_size=bs,
         scale_dtype=scale_dtype,
     )
+    if perm_mode == "ssr":
+        import dataclasses
+
+        from ..ops.gather import make_packed_gather
+
+        p = dataclasses.replace(
+            p, gather=make_packed_gather(p.perm, in_features), identity_perm=False
+        )
+    elif perm_mode == "folded":
+        import dataclasses
+
+        p = dataclasses.replace(p, input_folded=True)
+    return p
 
 
 def random_ternary_params(
@@ -60,12 +84,17 @@ def random_ternary_params(
     block_size: int = 128,
     scale_dtype=jnp.bfloat16,
     fused: bool = True,
+    perm_mode: str = "identity",  # "identity" | "ssr"
 ):
     """Full decoder params with every projection pre-ternarized.
 
     ``fused=True`` emits the production layout (fused qkv / gate+up
     containers — 4 kernel calls per layer); ``fused=False`` the
     per-projection layout.
+
+    ``perm_mode="ssr"`` reproduces the post-fold layout of a real
+    SSR-quantized model (quant/fold.py): qkv/o/gateup carry packed one-hot
+    MXU gathers, down is input_folded — the honest benchmark target.
 
     Builds the non-projection parts directly instead of going through
     ``init_params`` — a 7B dense init would materialize ~13.4 GB of bf16
@@ -138,8 +167,11 @@ def random_ternary_params(
         lkeys = jax.random.split(keys[li], len(shapes))
         lp = base_layer()
         for (name, (o, i, has_bias)), lk in zip(sorted(shapes.items()), lkeys):
+            pm = "identity"
+            if perm_mode == "ssr":
+                pm = "folded" if name == "down" else "ssr"
             lp[name] = random_ternary_linear(
-                lk, o, i, block_size, has_bias, scale_dtype
+                lk, o, i, block_size, has_bias, scale_dtype, perm_mode=pm
             )
         if not fused and not cfg.gated_mlp:
             lp["gate"] = None
