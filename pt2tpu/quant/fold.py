@@ -109,13 +109,13 @@ def _attach_gather(p: PackedTernaryLinear) -> PackedTernaryLinear:
 def fold_layer_perms(
     cfg: Any,  # models.decoder.ModelConfig (duck-typed: gated_mlp)
     lp: Dict[str, Any],
-    force_gather: bool = False,
 ) -> Dict[str, Any]:
     """Fold/realize every SSR permutation of one (pre-stack) decoder layer.
 
-    ``force_gather``: attach a PackedGather to every gather-target
-    projection even if its perm happens to be identity — keeps the stacked
-    pytree structure uniform across layers (pass use_ssr here).
+    Identity-perm projections (SSR off, or per-projection ``ssr_skip``) are
+    left untouched — they already take the zero-cost path. Structure across
+    a model's layers stays uniform because SSR-ness is configured per
+    projection, not per layer.
     """
     lp = dict(lp)
 
@@ -143,22 +143,12 @@ def fold_layer_perms(
             lp["down"] = dataclasses.replace(down, input_folded=True)
         else:
             lp["down"] = _attach_gather(down)
-    elif isinstance(down, PackedTernaryLinear) and force_gather and not (
-        down.input_folded or down.gather is not None
-    ):
-        # Uniform structure even when fold already made this lane-exact is
-        # impossible (identity perm): down always folds or gathers.
-        sigma = foldable_prefix_perm(down)
-        if sigma is not None and np.array_equal(sigma, np.arange(I_ := down.in_features)):
-            lp["down"] = dataclasses.replace(down, input_folded=True)
-        else:
-            lp["down"] = _attach_gather(down)
 
     for name in _GATHER_TARGETS:
         p = lp.get(name)
         if not isinstance(p, PackedTernaryLinear) or p.gather is not None:
             continue
-        if p.identity_perm and not force_gather:
+        if p.identity_perm or p.input_folded:
             continue
         lp[name] = _attach_gather(p)
 

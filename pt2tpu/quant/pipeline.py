@@ -46,6 +46,10 @@ class QuantConfig:
     block_size: int = 128
     percdamp: float = 0.01
     use_ssr: bool = True
+    ssr_skip: Tuple[str, ...] = ()  # quant groups quantized WITHOUT SSR
+    # (sequential block order -> identity perm -> no runtime gather). E.g.
+    # ("o",) trades o-proj's SSR quality gain for one fewer MXU gather per
+    # layer; a group name here only matters while use_ssr is True.
     use_aga: bool = True
     aga_mode: str = "exact"  # "exact" (robust, default) | "reference"
     max_iter: int = 100
@@ -65,9 +69,11 @@ def quantize_linear(
     lin: DenseLinear,
     H_acc: HessianAccumulator,
     qcfg: QuantConfig,
+    use_ssr: Optional[bool] = None,
 ):
     """Quantize one projection from its accumulated Hessian.
 
+    ``use_ssr`` overrides ``qcfg.use_ssr`` (per-projection ``ssr_skip``).
     Returns (PackedTernaryLinear, stats dict).
     """
     W = lin.w.astype(jnp.float32)
@@ -78,7 +84,7 @@ def quantize_linear(
         H,
         H_inv,
         block_size=qcfg.block_size,
-        use_ssr=qcfg.use_ssr,
+        use_ssr=qcfg.use_ssr if use_ssr is None else use_ssr,
         use_aga=qcfg.use_aga,
         max_iter=qcfg.max_iter,
         aga_mode=qcfg.aga_mode,
@@ -236,7 +242,12 @@ def quantize_model(
                     )
                 )
                 lin = DenseLinear(w=jnp.concatenate(ws, axis=0), b=bias)
-            packed, stats = quantize_linear(lin, accs[tap], qcfg)
+            packed, stats = quantize_linear(
+                lin,
+                accs[tap],
+                qcfg,
+                use_ssr=qcfg.use_ssr and gname not in qcfg.ssr_skip,
+            )
             new_lp[gname] = packed
             for m in members:
                 if m != gname:
@@ -246,7 +257,7 @@ def quantize_model(
         if qcfg.fold_perms:
             from .fold import fold_layer_perms
 
-            new_lp = fold_layer_perms(cfg, new_lp, force_gather=qcfg.use_ssr)
+            new_lp = fold_layer_perms(cfg, new_lp)
         report["layers"].append(layer_report)
 
         # Propagate quantized outputs as the next layer's inputs.

@@ -142,7 +142,7 @@ def test_fold_layer_perms_down_fold(rng):
     # Strip down's pre-attached gather so fold sees the raw perm form.
     lp["down"] = dataclasses.replace(lp["down"], gather=None)
     cfg = TINY
-    folded = fold_layer_perms(cfg, lp, force_gather=True)
+    folded = fold_layer_perms(cfg, lp)
     assert folded["down"].input_folded
     assert folded["down"].gather is None
     assert folded["gateup"].out_folded
