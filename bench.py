@@ -80,6 +80,11 @@ def main():
         "gathers on qkv/o/gateup, folded down (what quant/fold.py emits for "
         "a real SSR model); identity: no permutations (upper bound)",
     )
+    ap.add_argument(
+        "--lm-head", default="bf16", choices=["bf16", "ternary"],
+        help="ternary: quantized lm_head (QuantConfig.quantize_lm_head) — "
+        "cuts the ~0.26 GB/token bf16 head read to ~33 MB",
+    )
     ap.add_argument("--no-dense", action="store_true", help="skip dense baseline")
     ap.add_argument(
         "--time-budget", type=float, default=1500.0,
@@ -112,7 +117,10 @@ def main():
     impl = "auto"
 
     tparams = random_ternary_params(
-        cfg, jax.random.PRNGKey(0), perm_mode=args.perms
+        cfg,
+        jax.random.PRNGKey(0),
+        perm_mode=args.perms,
+        ternary_lm_head=args.lm_head == "ternary",
     )
     tok_s = bench_decode(cfg, tparams, args.prompt, args.new, impl, args.reps)
     print(

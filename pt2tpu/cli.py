@@ -82,6 +82,9 @@ def cmd_quantize(args):
         aga_mode=args.aga if args.aga != "off" else "exact",
         batch_size=args.batch_size,
         fuse_projections=not args.no_fuse,
+        fold_perms=not args.no_fold,
+        ssr_skip=tuple(s for s in args.ssr_skip.split(",") if s),
+        quantize_lm_head=args.quantize_lm_head,
     )
     log = MetricsLogger(
         os.path.join(args.output, "quantize_metrics.jsonl"), verbose=True
@@ -231,6 +234,15 @@ def build_parser():
     q.add_argument("--num_samples", type=int, default=128)
     q.add_argument("--seq_len", type=int, default=2048)
     q.add_argument("--no_ssr", action="store_true")
+    q.add_argument("--no_fold", action="store_true",
+                   help="keep runtime index gathers instead of folding SSR "
+                   "perms into the packed layout (quant/fold.py)")
+    q.add_argument("--ssr_skip", default="",
+                   help="comma-separated quant groups to quantize without "
+                   "SSR (e.g. 'o' -> one fewer gather per layer)")
+    q.add_argument("--quantize_lm_head", action="store_true",
+                   help="also ternarize the lm_head (cuts ~vocab*dim*1.75 "
+                   "bytes/token of decode HBM traffic; costs perplexity)")
     q.add_argument("--percdamp", type=float, default=0.01)
     q.add_argument("--aga", choices=["exact", "reference", "off"], default="exact")
     q.add_argument("--no_fuse", action="store_true",

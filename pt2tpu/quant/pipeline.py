@@ -63,6 +63,11 @@ class QuantConfig:
     # time (quant/fold.py): down's perm folds into gate/up output lanes for
     # free; the rest become packed one-hot MXU gathers instead of VPU
     # lane gathers. Exact — changes layout, not math.
+    quantize_lm_head: bool = False  # ALSO ternarize the lm_head (beyond the
+    # reference's scope — it only quantizes decoder-layer linears,
+    # ref main.py:272). Cuts batch-1 decode HBM traffic by ~vocab*dim*1.75
+    # bytes/token at a measurable perplexity cost; calibrated against the
+    # final-norm outputs. Ignored for tied-embedding models.
 
 
 def quantize_linear(
@@ -270,6 +275,32 @@ def quantize_model(
 
     out_params = dict(params)
     out_params["layers"] = dec.stack_layers(new_layers)
+
+    if qcfg.quantize_lm_head and params.get("lm_head") is not None:
+        # Calibrate against what actually feeds the head: final-norm outputs.
+        lnf = jax.jit(
+            lambda h: dec.layer_norm(h, params["lnf_w"], params["lnf_b"], cfg.norm_eps)
+            if cfg.norm == "layernorm"
+            else dec.rms_norm(h, params["lnf_w"], cfg.norm_eps)
+        )
+        acc = HessianAccumulator(cfg.dim)
+        for h in hidden:
+            acc.update(lnf(h))
+        packed, stats = quantize_linear(params["lm_head"], acc, qcfg)
+        if qcfg.fold_perms and not packed.identity_perm:
+            import dataclasses as _dc
+
+            from ..ops.gather import make_packed_gather
+
+            packed = _dc.replace(
+                packed,
+                gather=make_packed_gather(packed.perm, packed.in_features),
+                identity_perm=False,
+            )
+        out_params["lm_head"] = packed
+        report["lm_head"] = stats
+        log.emit("lm_head_quantized", **stats)
+
     from ..utils.metrics import model_bits_per_weight
 
     report["bits_per_weight"] = model_bits_per_weight(out_params)

@@ -85,6 +85,7 @@ def random_ternary_params(
     scale_dtype=jnp.bfloat16,
     fused: bool = True,
     perm_mode: str = "identity",  # "identity" | "ssr"
+    ternary_lm_head: bool = False,
 ):
     """Full decoder params with every projection pre-ternarized.
 
@@ -124,9 +125,21 @@ def random_ternary_params(
         "lm_head": (
             None
             if cfg.tie_embeddings
-            else DenseLinear(
-                w=(jax.random.normal(k_head, (cfg.vocab_size, D)) / D**0.5).astype(dtype),
-                b=None,
+            else (
+                random_ternary_linear(
+                    k_head,
+                    cfg.vocab_size,
+                    D,
+                    block_size,
+                    False,
+                    scale_dtype,
+                    perm_mode="ssr" if perm_mode == "ssr" else "identity",
+                )
+                if ternary_lm_head and cfg.vocab_size % 128 == 0
+                else DenseLinear(
+                    w=(jax.random.normal(k_head, (cfg.vocab_size, D)) / D**0.5).astype(dtype),
+                    b=None,
+                )
             )
         ),
     }
