@@ -40,7 +40,7 @@ def _bench_call(fn, *args, reps=3):
     return best
 
 
-def bench_decode(cfg, params, prompt_len, max_new, impl, reps=3):
+def bench_decode(cfg, params, prompt_len, max_new, impl, reps=3, batch=1):
     """Per-token decode throughput via two-length slope timing.
 
     Dispatch latency through the device tunnel is large and wildly variable
@@ -51,7 +51,7 @@ def bench_decode(cfg, params, prompt_len, max_new, impl, reps=3):
     from pt2tpu.serve import greedy_generate
 
     short = max(8, max_new // 4)
-    prompt = jnp.ones((1, prompt_len), jnp.int32)
+    prompt = jnp.ones((batch, prompt_len), jnp.int32)
     M = prompt_len + max_new
 
     def run(n):
@@ -64,7 +64,7 @@ def bench_decode(cfg, params, prompt_len, max_new, impl, reps=3):
     per_tok = (t_long - t_short) / (max_new - short)
     if per_tok <= 0:  # throttle noise swamped the slope; fall back
         per_tok = t_long / max_new
-    return 1.0 / per_tok
+    return batch / per_tok
 
 
 def main():
@@ -73,6 +73,11 @@ def main():
     ap.add_argument("--layers", type=int, default=None, help="override n_layers")
     ap.add_argument("--prompt", type=int, default=32)
     ap.add_argument("--new", type=int, default=64)
+    ap.add_argument(
+        "--batch", type=int, default=1,
+        help="decode batch size (weight reads amortize across rows — the "
+        "continuous-batching serving operating point)",
+    )
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument(
         "--perms", default="ssr", choices=["ssr", "identity"],
@@ -122,7 +127,9 @@ def main():
         perm_mode=args.perms,
         ternary_lm_head=args.lm_head == "ternary",
     )
-    tok_s = bench_decode(cfg, tparams, args.prompt, args.new, impl, args.reps)
+    tok_s = bench_decode(
+        cfg, tparams, args.prompt, args.new, impl, args.reps, batch=args.batch
+    )
     print(
         f"ternary {cfg.n_layers}L ({args.perms} perms): {tok_s:.2f} tok/s",
         file=sys.stderr,
@@ -148,7 +155,8 @@ def main():
             print(f"dense baseline failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     rec = {
-        "metric": f"ternary {args.model} greedy decode tokens/s/chip (batch 1)",
+        "metric": f"ternary {args.model} greedy decode tokens/s/chip "
+        f"(batch {args.batch})",
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(vs, 3) if vs else None,
@@ -161,7 +169,9 @@ def _dense_probe(cfg, args, n_layers):
 
     c = cfg.with_(n_layers=n_layers)
     p = dec.init_params(c, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
-    return bench_decode(c, p, args.prompt, args.new, "xla", args.reps)
+    return bench_decode(
+        c, p, args.prompt, args.new, "xla", args.reps, batch=args.batch
+    )
 
 
 def _dense_baseline(cfg, args):
@@ -176,6 +186,7 @@ def _dense_baseline(cfg, args):
         sys.executable, os.path.abspath(__file__),
         "--model", args.model, "--prompt", str(args.prompt),
         "--new", str(args.new), "--reps", str(args.reps),
+        "--batch", str(args.batch),
         "--dense-probe", f"{l1},{l2},{cfg.n_layers}",
     ]
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=2400)

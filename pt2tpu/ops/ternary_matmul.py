@@ -129,6 +129,23 @@ class PackedTernaryLinear:
     def out_features(self) -> int:
         return self.packed.shape[-1]
 
+    def memory_footprint(self) -> dict:
+        """Actual storage bytes by component (the reference's
+        ``TernaryLinear.memory_footprint``, ref model.py:112-127 — except
+        here the planes really are 2-bit packed, so the numbers reflect
+        deployable HBM residency, not int8 staging)."""
+        out = {
+            "packed": self.packed.size * self.packed.dtype.itemsize,
+            "scales": (self.alpha.size + self.mu.size) * self.alpha.dtype.itemsize,
+            "perm": self.perm.size * self.perm.dtype.itemsize,
+            "bias": 0 if self.bias is None else self.bias.size * self.bias.dtype.itemsize,
+            "gather": 0
+            if self.gather is None
+            else self.gather.packed.size * self.gather.packed.dtype.itemsize,
+        }
+        out["total"] = sum(out.values())
+        return out
+
 
 def make_packed_linear(
     codes: jax.Array,  # (n, K) int8 in {-1,0,1}, visit order

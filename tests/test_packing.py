@@ -41,3 +41,17 @@ def test_density():
 def test_rejects_bad_shapes(rng):
     with pytest.raises(ValueError):
         packing.pack_ternary(jnp.zeros((4, 100), jnp.int8), block_size=128)
+
+
+def test_memory_footprint():
+    import jax
+
+    from pt2tpu.utils.randmodel import random_ternary_linear
+
+    p = random_ternary_linear(jax.random.PRNGKey(0), 256, 256, perm_mode="ssr")
+    fp = p.memory_footprint()
+    # K is padded to 16 scale blocks (2048 lanes) at these toy dims.
+    K = p.packed.shape[0] * 4
+    assert fp["packed"] == K * 256 // 4
+    assert fp["gather"] == (256 // 4) * K
+    assert fp["total"] == sum(v for k, v in fp.items() if k != "total")

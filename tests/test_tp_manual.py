@@ -1,0 +1,64 @@
+"""Manual tensor parallelism (parallel/tp.py): shard_map layer ==
+single-device layer, including SSR gathers and folded perms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pt2tpu.models import decoder as dec
+from pt2tpu.models import get_config
+from pt2tpu.parallel.mesh import make_mesh
+from pt2tpu.parallel.tp import make_tp_layer_fn, prepare_tp_layer, tp_row_apply
+from pt2tpu.utils.randmodel import random_ternary_params
+
+
+@pytest.mark.parametrize("perm_mode", ["identity", "ssr"])
+def test_tp_layer_matches_single_device(rng, perm_mode):
+    cfg = get_config("tiny-llama")
+    params = random_ternary_params(
+        cfg, jax.random.PRNGKey(0), perm_mode=perm_mode
+    )
+    lp = dec.layer_slice(params["layers"], 0)
+
+    B, L = 2, 8
+    x = jnp.asarray(rng.standard_normal((B, L, cfg.dim)), jnp.float32) * 0.1
+    cos, sin = dec.rope_tables(cfg.hd, L, cfg.rope_theta)
+    mask = dec.build_mask(cfg, L, L)
+    want, _ = dec.layer_forward(cfg, lp, x, cos, sin, mask, impl="xla")
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    lp_tp = prepare_tp_layer(cfg, lp, ways=4)
+    fn = make_tp_layer_fn(cfg, mesh, lp_tp, L, chunks=2, impl="xla")
+    got = fn(lp_tp, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_tp_row_apply_chunked_psum(rng):
+    """Row-parallel apply sums shard partials correctly for any chunking."""
+    from jax.sharding import PartitionSpec as P
+
+    from pt2tpu.ops.ternary_matmul import ternary_linear_apply
+    from pt2tpu.parallel.tp import tp_layer_specs
+    from pt2tpu.utils.randmodel import random_ternary_linear
+
+    p = random_ternary_linear(jax.random.PRNGKey(1), 256, 512, perm_mode="folded")
+    x = jnp.asarray(rng.standard_normal((3, 512)), jnp.float32)
+    want = ternary_linear_apply(p, x, impl="xla")
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    specs = tp_layer_specs({"down": p})["down"]
+    for chunks in (1, 2):
+        fn = jax.jit(
+            jax.shard_map(
+                lambda pp, xx: tp_row_apply(pp, xx, "model", chunks, "xla"),
+                mesh=mesh,
+                in_specs=(specs, P(None, None)),
+                out_specs=P(None, None),
+                check_vma=False,
+            )
+        )
+        got = fn(p, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
