@@ -67,9 +67,34 @@ def bench_decode(cfg, params, prompt_len, max_new, impl, reps=3, batch=1):
     return batch / per_tok
 
 
+def bench_prefill(cfg, params, seq_len, impl, reps=3, batch=1):
+    """Prefill tokens/s via slope between two sequence lengths (cancels
+    dispatch; prefill is one jitted forward, MXU-bound at these shapes)."""
+    from pt2tpu.models import decoder as dec
+
+    l_short = max(128, seq_len // 4)
+
+    def run(L):
+        toks = jnp.ones((batch, L), jnp.int32)
+        f = jax.jit(lambda t: dec.forward(cfg, params, t, impl=impl))
+        return _bench_call(f, toks, reps=reps)
+
+    t_short = run(l_short)
+    t_long = run(seq_len)
+    per_tok = (t_long - t_short) / (batch * (seq_len - l_short))
+    if per_tok <= 0:
+        per_tok = t_long / (batch * seq_len)
+    return 1.0 / per_tok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="llama-2-7b")
+    ap.add_argument(
+        "--mode", default="decode", choices=["decode", "prefill"],
+        help="decode (default): batch-N greedy decode tok/s; prefill: "
+        "causal forward tok/s at --prompt length",
+    )
     ap.add_argument("--layers", type=int, default=None, help="override n_layers")
     ap.add_argument("--prompt", type=int, default=32)
     ap.add_argument("--new", type=int, default=64)
@@ -127,11 +152,17 @@ def main():
         perm_mode=args.perms,
         ternary_lm_head=args.lm_head == "ternary",
     )
-    tok_s = bench_decode(
-        cfg, tparams, args.prompt, args.new, impl, args.reps, batch=args.batch
-    )
+    if args.mode == "prefill":
+        tok_s = bench_prefill(
+            cfg, tparams, max(args.prompt, 256), impl, args.reps, args.batch
+        )
+    else:
+        tok_s = bench_decode(
+            cfg, tparams, args.prompt, args.new, impl, args.reps, batch=args.batch
+        )
     print(
-        f"ternary {cfg.n_layers}L ({args.perms} perms): {tok_s:.2f} tok/s",
+        f"ternary {cfg.n_layers}L ({args.perms} perms, {args.mode}): "
+        f"{tok_s:.2f} tok/s",
         file=sys.stderr,
     )
     del tparams
@@ -144,6 +175,8 @@ def main():
     gc.collect()
 
     vs = None
+    if args.mode == "prefill":
+        args.no_dense = True  # dense extrapolation path is decode-only
     if time.time() - t_start > args.time_budget:
         print("time budget exhausted; skipping dense baseline", file=sys.stderr)
         args.no_dense = True
@@ -154,8 +187,9 @@ def main():
         except Exception as e:  # OOM etc. — report without baseline
             print(f"dense baseline failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    what = "greedy decode" if args.mode == "decode" else "prefill"
     rec = {
-        "metric": f"ternary {args.model} greedy decode tokens/s/chip "
+        "metric": f"ternary {args.model} {what} tokens/s/chip "
         f"(batch {args.batch})",
         "value": round(tok_s, 2),
         "unit": "tok/s",
