@@ -52,3 +52,18 @@ def test_lm_head_tied_embeddings_skipped(rng):
         cfg, params, calib, QuantConfig(batch_size=2, quantize_lm_head=True)
     )
     assert q["lm_head"] is None
+
+
+def test_greedy_decode_with_ternary_head(rng):
+    from pt2tpu.serve import greedy_generate
+    from pt2tpu.utils.randmodel import random_ternary_params
+
+    cfg = CFG.with_(vocab_size=256)
+    params = random_ternary_params(
+        cfg, jax.random.PRNGKey(3), perm_mode="ssr", ternary_lm_head=True
+    )
+    assert isinstance(params["lm_head"], PackedTernaryLinear)
+    prompt = jnp.asarray(rng.integers(0, 256, (2, 4)), jnp.int32)
+    out = greedy_generate(cfg, params, prompt, max_new=4, max_len=16, impl="xla")
+    assert out.shape == (2, 4)
+    assert bool((out >= 0).all() and (out < 256).all())
