@@ -52,6 +52,9 @@ __all__ = [
     "tp_layer_specs",
     "make_tp_layer_fn",
     "prepare_tp_layer",
+    "prepare_tp_params",
+    "tp_param_specs",
+    "tp_generate",
 ]
 
 
@@ -62,6 +65,7 @@ def tp_row_apply(
     axis: str = "model",
     chunks: int = 2,
     impl: str = "auto",
+    layer_idx: Optional[jax.Array] = None,  # stacked (n_layers, ...) arrays
 ) -> jax.Array:
     """Row-parallel packed ternary matmul with chunked psum overlap.
 
@@ -70,9 +74,12 @@ def tp_row_apply(
     (identity/folded perms; handles pad blocks, which read zeros).
     Output features are computed in ``chunks`` groups, each followed
     immediately by its own psum so reductions overlap the next matmul.
+    (Stacked weights force chunks=1: a column slice of the whole stack
+    would materialize an HBM copy — the scan path takes one psum instead.)
     """
     lead = x_full.shape[:-1]
     x2 = x_full.reshape(-1, x_full.shape[-1])
+    stacked = p.packed.ndim == 3
     K_local = p.packed.shape[-2] * 4
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu"
@@ -82,15 +89,25 @@ def tp_row_apply(
         # gather packed local: (Dp/4, K_local) — output lanes follow the row
         # shard; input is the full activation.
         if use_pallas:
-            from ..ops.kernels.pallas_gather import onehot_matmul_pallas
+            if stacked:
+                from ..ops.kernels.pallas_gather import (
+                    onehot_matmul_pallas_stacked,
+                )
 
-            xk = onehot_matmul_pallas(x2, p.gather.packed).astype(x2.dtype)
+                xk = onehot_matmul_pallas_stacked(
+                    x2, p.gather.packed, layer_idx
+                ).astype(x2.dtype)
+            else:
+                from ..ops.kernels.pallas_gather import onehot_matmul_pallas
+
+                xk = onehot_matmul_pallas(x2, p.gather.packed).astype(x2.dtype)
         else:
             # index fallback: the shard's slice of the (replicated) perm
             from ..ops.gather import apply_input_perm
 
+            perm = p.gather.perm[layer_idx] if stacked else p.gather.perm
             perm_local = jax.lax.dynamic_slice(
-                p.gather.perm, (idx * K_local,), (K_local,)
+                perm, (idx * K_local,), (K_local,)
             )
             xk = apply_input_perm(x2, perm_local, p.gather.in_features)
     else:
@@ -105,6 +122,8 @@ def tp_row_apply(
     bs = p.block_size
     # Clamp to the largest feasible chunk count: chunks must divide n into
     # 128-aligned groups (kernel lane tiles); degrade to 1 (single psum).
+    if stacked:
+        chunks = 1
     chunks = next(
         (c for c in range(min(chunks, n // 128), 1, -1)
          if n % c == 0 and (n // c) % 128 == 0),
@@ -114,7 +133,21 @@ def tp_row_apply(
     outs = []
     for c in range(chunks):
         sl = slice(c * step, (c + 1) * step)
-        if use_pallas:
+        if stacked:
+            if use_pallas:
+                from ..ops.kernels.pallas_ternary import (
+                    ternary_matmul_pallas_stacked,
+                )
+
+                part = ternary_matmul_pallas_stacked(
+                    xk, p.packed, p.alpha, p.mu, layer_idx, block_size=bs
+                )
+            else:
+                part = ternary_matmul_xla(
+                    xk, p.packed[layer_idx], p.alpha[layer_idx],
+                    p.mu[layer_idx], block_size=bs,
+                )
+        elif use_pallas:
             from ..ops.kernels.pallas_ternary import ternary_matmul_pallas
 
             part = ternary_matmul_pallas(
@@ -127,7 +160,8 @@ def tp_row_apply(
         outs.append(jax.lax.psum(part, axis))  # async; overlaps next chunk
     out = jnp.concatenate(outs, axis=-1)
     if p.bias is not None:
-        out = out + p.bias.astype(out.dtype)
+        bias = p.bias[layer_idx] if stacked else p.bias
+        out = out + bias.astype(out.dtype)
     return out.astype(x_full.dtype).reshape(*lead, n)
 
 
@@ -139,11 +173,18 @@ def tp_layer_forward(
     cos: jax.Array,
     sin: jax.Array,
     mask: Optional[jax.Array],
+    cache: Optional[Any] = None,  # KVLayerView with LOCAL kv heads
+    cache_pos: Optional[jax.Array] = None,
     axis: str = "model",
     chunks: int = 2,
     impl: str = "auto",
-) -> jax.Array:
-    """One decoder layer under manual TP. Call inside shard_map."""
+    layer_idx: Optional[jax.Array] = None,  # stacked-weight kernels
+):
+    """One decoder layer under manual TP. Call inside shard_map.
+
+    Returns (hidden, updated KVLayerView or None). With ``cache`` given,
+    this shard writes/reads only its own kv heads (head-sharded cache).
+    """
     ways = jax.lax.psum(1, axis)
     H = cfg.n_heads // ways
     Hkv = cfg.kv_heads // ways
@@ -151,7 +192,7 @@ def tp_layer_forward(
     B, L, D = x.shape
 
     h = rms_norm(x, lp["ln1_w"], cfg.norm_eps)
-    qkv = apply_linear(lp["qkv"], h, impl)  # col-parallel: this shard's heads
+    qkv = apply_linear(lp["qkv"], h, impl, layer_idx)  # col: this shard's heads
     nq, nkv = H * hd, Hkv * hd
     q = qkv[..., :nq].reshape(B, L, H, hd)
     k = qkv[..., nq : nq + nkv].reshape(B, L, Hkv, hd)
@@ -159,19 +200,26 @@ def tp_layer_forward(
     if cfg.pos == "rope":
         q = dec.apply_rope(q, cos, sin)
         k = dec.apply_rope(k, cos, sin)
-    ctx = attention(q, k, v, mask).reshape(B, L, H * hd)
+    if cache is not None:
+        new_kv = cache.write(k, v, cache_pos)
+        ck, cv = new_kv.read(q.dtype)
+        ctx = attention(q, ck, cv, mask)
+    else:
+        ctx = attention(q, k, v, mask)
+        new_kv = None
+    ctx = ctx.reshape(B, L, H * hd)
     # Megatron g-op: assemble the full ctx feature dim for the row-parallel
     # o projection (whose SSR gather, if any, permutes across all heads).
     ctx_full = jax.lax.all_gather(ctx, axis, axis=-1, tiled=True)
-    x = x + tp_row_apply(lp["o"], ctx_full, axis, chunks, impl)
+    x = x + tp_row_apply(lp["o"], ctx_full, axis, chunks, impl, layer_idx)
 
     h = rms_norm(x, lp["ln2_w"], cfg.norm_eps)
-    gu = apply_linear(lp["gateup"], h, impl)  # col: [gate_s | up_s] lanes
+    gu = apply_linear(lp["gateup"], h, impl, layer_idx)  # col: [gate_s|up_s]
     Iloc = gu.shape[-1] // 2
     mid = jax.nn.silu(gu[..., :Iloc]) * gu[..., Iloc:]
     mid_full = jax.lax.all_gather(mid, axis, axis=-1, tiled=True)
-    x = x + tp_row_apply(lp["down"], mid_full, axis, chunks, impl)
-    return x
+    x = x + tp_row_apply(lp["down"], mid_full, axis, chunks, impl, layer_idx)
+    return x, new_kv
 
 
 # ------------------------------------------------------------- prepare ----
@@ -289,7 +337,7 @@ def make_tp_layer_fn(
     )
 
     def step(lp_, x):
-        return fn(lp_, x, cos, sin, mask)
+        return fn(lp_, x, cos, sin, mask)[0]
 
     return jax.jit(
         jax.shard_map(
@@ -300,3 +348,176 @@ def make_tp_layer_fn(
             check_vma=False,
         )
     )
+
+
+# ------------------------------------------------------ full-model TP ----
+def prepare_tp_params(cfg: dec.ModelConfig, params: Dict[str, Any], ways: int):
+    """Shard-major lane layout for every stacked decoder layer (host-side)."""
+    lps = [
+        prepare_tp_layer(cfg, dec.layer_slice(params["layers"], i), ways)
+        for i in range(cfg.n_layers)
+    ]
+    out = dict(params)
+    out["layers"] = dec.stack_layers(lps)
+    return out
+
+
+def _lift(spec_tree):
+    """Prepend a stacked-layers None dim to every PartitionSpec leaf."""
+
+    def go(t):
+        if t is None:
+            return None
+        if isinstance(t, P):
+            return P(*((None,) + tuple(t)))
+        if isinstance(t, PackedGather):
+            return PackedGather(
+                packed=go(t.packed), perm=go(t.perm), in_features=t.in_features
+            )
+        if isinstance(t, PackedTernaryLinear):
+            return PackedTernaryLinear(
+                packed=go(t.packed),
+                alpha=go(t.alpha),
+                mu=go(t.mu),
+                perm=go(t.perm),
+                bias=go(t.bias),
+                gather=go(t.gather),
+                in_features=t.in_features,
+                identity_perm=t.identity_perm,
+                input_folded=t.input_folded,
+                out_folded=t.out_folded,
+            )
+        if isinstance(t, dict):
+            return {k: go(v) for k, v in t.items()}
+        raise TypeError(f"unexpected spec node {type(t).__name__}")
+
+    return go(spec_tree)
+
+
+def _replicated_like(leaf):
+    """All-None specs matching a non-layer param leaf (embed/lm_head/...)."""
+    from ..models.common import DenseLinear
+
+    if leaf is None:
+        return None
+    if isinstance(leaf, DenseLinear):
+        return DenseLinear(
+            w=P(*([None] * leaf.w.ndim)),
+            b=None if leaf.b is None else P(*([None] * leaf.b.ndim)),
+        )
+    if isinstance(leaf, PackedTernaryLinear):
+        return PackedTernaryLinear(
+            packed=P(*([None] * leaf.packed.ndim)),
+            alpha=P(*([None] * leaf.alpha.ndim)),
+            mu=P(*([None] * leaf.mu.ndim)),
+            perm=P(*([None] * leaf.perm.ndim)),
+            bias=None if leaf.bias is None else P(*([None] * leaf.bias.ndim)),
+            gather=None
+            if leaf.gather is None
+            else PackedGather(
+                packed=P(*([None] * leaf.gather.packed.ndim)),
+                perm=P(*([None] * leaf.gather.perm.ndim)),
+                in_features=leaf.gather.in_features,
+            ),
+            in_features=leaf.in_features,
+            identity_perm=leaf.identity_perm,
+            input_folded=leaf.input_folded,
+            out_folded=leaf.out_folded,
+        )
+    return P(*([None] * leaf.ndim))
+
+
+def tp_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """shard_map in_specs for a full prepared params pytree."""
+    specs = {
+        k: _replicated_like(v) for k, v in params.items() if k != "layers"
+    }
+    specs["layers"] = _lift(tp_layer_specs(params["layers"]))
+    return specs
+
+
+def tp_generate(
+    cfg: dec.ModelConfig,
+    mesh: Mesh,
+    params: Dict[str, Any],  # prepared via prepare_tp_params
+    prompt: jax.Array,  # (B, Lp) int32
+    max_new: int,
+    max_len: Optional[int] = None,
+    chunks: int = 2,
+    impl: str = "auto",
+) -> jax.Array:
+    """Greedy decode with the whole prefill+scan loop inside ONE shard_map:
+    column/row-parallel ternary matmuls, head-sharded KV cache, explicit
+    psum/all_gather — the manual-TP serving path (cf. serve/generate.py for
+    the single-device/GSPMD path)."""
+    from ..serve.kvcache import KVCache, KVLayerView
+
+    ways = mesh.shape["model"]
+    B, Lp = prompt.shape
+    M = max_len or min(cfg.max_seq_len, Lp + max_new)
+    if Lp + max_new > M:
+        raise ValueError(f"prompt {Lp} + max_new {max_new} exceeds max_len {M}")
+    Hkv_local = cfg.kv_heads // ways
+    if cfg.pos == "rope":
+        cos_all, sin_all = dec.rope_tables(cfg.hd, M, cfg.rope_theta)
+    else:
+        cos_all = sin_all = jnp.zeros((M, 1), jnp.float32)
+
+    def fwd(params_, toks, cache: KVCache, pos0):
+        L = toks.shape[1]
+        h = dec.embed_tokens(cfg, params_, toks, pos0=pos0)
+        cos = jax.lax.dynamic_slice_in_dim(cos_all, pos0, L)
+        sin = jax.lax.dynamic_slice_in_dim(sin_all, pos0, L)
+        mask = dec.build_mask(cfg, L, M, q_offset=pos0)
+        views = KVLayerView(
+            k=cache.k, v=cache.v, k_scale=cache.k_scale, v_scale=cache.v_scale
+        )
+
+        def body(x, xs):
+            li, kvl = xs
+            lp = dec.layer_view(params_["layers"], li)
+            y, kv = tp_layer_forward(
+                cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=pos0,
+                axis="model", chunks=chunks, impl=impl, layer_idx=li,
+            )
+            return y, kv
+
+        h, new_views = jax.lax.scan(
+            body, h, (jnp.arange(cfg.n_layers), views)
+        )
+        logits = dec.unembed(cfg, params_, h[:, -1:, :])[:, 0]
+        return logits, cache.with_layers(new_views, pos0 + L)
+
+    def run(params_, prompt_):
+        shape = (cfg.n_layers, B, M, Hkv_local, cfg.hd)
+        cache = KVCache(
+            k=jnp.zeros(shape, jnp.bfloat16),
+            v=jnp.zeros(shape, jnp.bfloat16),
+            k_scale=None,
+            v_scale=None,
+            length=jnp.int32(0),
+        )
+        logits, cache = fwd(params_, prompt_, cache, 0)
+        tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        def step(carry, _):
+            cache, tok, pos = carry
+            logits, cache = fwd(params_, tok[:, None], cache, pos)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (cache, nxt, pos + 1), nxt
+
+        (_, _, _), rest = jax.lax.scan(
+            step, (cache, tok0, jnp.int32(Lp)), None, length=max_new - 1
+        )
+        return jnp.concatenate([tok0[:, None], rest.T], axis=1)
+
+    fn = jax.jit(
+        jax.shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(tp_param_specs(params), P(None, None)),
+            out_specs=P(None, None),
+            check_vma=False,
+        )
+    )
+    return fn(params, prompt)

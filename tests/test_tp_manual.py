@@ -62,3 +62,23 @@ def test_tp_row_apply_chunked_psum(rng):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=2e-5
         )
+
+
+@pytest.mark.parametrize("perm_mode", ["identity", "ssr"])
+def test_tp_generate_matches_greedy(rng, perm_mode):
+    """Full manual-TP decode (prefill + scan, head-sharded cache) == the
+    single-device greedy path, token for token."""
+    from pt2tpu.parallel.tp import prepare_tp_params, tp_generate
+    from pt2tpu.serve import greedy_generate
+
+    cfg = get_config("tiny-llama")
+    params = random_ternary_params(
+        cfg, jax.random.PRNGKey(5), perm_mode=perm_mode
+    )
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)), jnp.int32)
+    want = greedy_generate(cfg, params, prompt, max_new=6, max_len=32, impl="xla")
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    tp_params = prepare_tp_params(cfg, params, ways=4)
+    got = tp_generate(cfg, mesh, tp_params, prompt, max_new=6, max_len=32, impl="xla")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
