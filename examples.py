@@ -158,6 +158,66 @@ def example_sharding():
           f"{bool(jnp.isfinite(logits).all())}")
 
 
+def example_fold():
+    """SSR perm folding: zero runtime index gathers (quant/fold.py)."""
+    import dataclasses
+
+    from pt2tpu.models import decoder as dec
+    from pt2tpu.quant.fold import fold_layer_perms
+    from pt2tpu.utils.randmodel import random_ternary_linear
+
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, 4)
+    D, I = 128, 256
+    lp = {
+        "ln1_w": jnp.ones((D,)), "ln1_b": None,
+        "ln2_w": jnp.ones((D,)), "ln2_b": None,
+        "qkv": random_ternary_linear(keys[0], 3 * D, D, perm_mode="ssr"),
+        "o": random_ternary_linear(keys[1], D, D, perm_mode="ssr"),
+        "gateup": random_ternary_linear(keys[2], 2 * I, D, perm_mode="ssr"),
+        "down": dataclasses.replace(
+            random_ternary_linear(keys[3], D, I, perm_mode="ssr"), gather=None
+        ),
+    }
+    cfg = dec.ModelConfig(family="llama", vocab_size=64, dim=D, n_layers=1,
+                          n_heads=4, intermediate=I)
+    folded = fold_layer_perms(cfg, lp)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, D)),
+                    jnp.float32)
+    cos, sin = dec.rope_tables(cfg.hd, 4)
+    mask = dec.build_mask(cfg, 4, 4)
+    y0, _ = dec.layer_forward(cfg, lp, x, cos, sin, mask, impl="xla")
+    y1, _ = dec.layer_forward(cfg, folded, x, cos, sin, mask, impl="xla")
+    print(f"  down folded into gateup lanes: input_folded="
+          f"{folded['down'].input_folded}; qkv gather via packed one-hot MXU "
+          f"matmul; max |delta| = {float(jnp.max(jnp.abs(y1 - y0))):.2e}")
+
+
+def example_manual_tp():
+    """shard_map decode with explicit psum/all_gather (parallel/tp.py)."""
+    from pt2tpu.models import get_config
+    from pt2tpu.parallel import auto_mesh
+    from pt2tpu.parallel.tp import prepare_tp_params, tp_generate
+    from pt2tpu.serve import greedy_generate
+    from pt2tpu.utils.randmodel import random_ternary_params
+
+    cfg = get_config("tiny-llama")
+    params = random_ternary_params(cfg, jax.random.PRNGKey(5), perm_mode="ssr")
+    mesh = auto_mesh()
+    ways = mesh.shape["model"]
+    if cfg.n_heads % ways or cfg.intermediate % ways:
+        print(f"  skipped: mesh model={ways} incompatible with tiny config")
+        return
+    prompt = jnp.ones((2, 4), jnp.int32)
+    tp_params = prepare_tp_params(cfg, params, ways)
+    got = tp_generate(cfg, mesh, tp_params, prompt, max_new=4, max_len=16,
+                      impl="xla")
+    want = greedy_generate(cfg, params, prompt, max_new=4, max_len=16,
+                           impl="xla")
+    print(f"  mesh {dict(mesh.shape)}: TP tokens == single-device tokens: "
+          f"{bool((got == want).all())}")
+
+
 EXAMPLES = {
     "atq": example_atq_stages,
     "ssr": example_ssr,
@@ -165,6 +225,8 @@ EXAMPLES = {
     "pipeline": example_model_pipeline,
     "serving": example_serving,
     "sharding": example_sharding,
+    "fold": example_fold,
+    "tp": example_manual_tp,
 }
 
 
