@@ -74,10 +74,13 @@ def bench_prefill(cfg, params, seq_len, impl, reps=3, batch=1):
 
     l_short = max(128, seq_len // 4)
 
+    # params must be jit ARGUMENTS: closing over them bakes the packed
+    # model in as 2.8 GB of lowered constants (measured; glacial compiles).
+    f = jax.jit(lambda p, t: dec.forward(cfg, p, t, impl=impl))
+
     def run(L):
         toks = jnp.ones((batch, L), jnp.int32)
-        f = jax.jit(lambda t: dec.forward(cfg, params, t, impl=impl))
-        return _bench_call(f, toks, reps=reps)
+        return _bench_call(f, params, toks, reps=reps)
 
     t_short = run(l_short)
     t_long = run(seq_len)
