@@ -8,8 +8,11 @@ from a local checkpoint directory and map them into the decoder pytree —
 no torch runtime on the TPU path, no network (this environment is
 zero-egress; point ``--model`` at a local download).
 
-Supported families: llama/llama2/llama3/qwen (HF LlamaForCausalLM layout),
-opt (OPTForCausalLM), gpt2 (GPT2LMHeadModel, fused Conv1D qkv split).
+Supported families (the reference's dispatch set, ref model.py:139-159):
+llama/llama2/llama3/qwen/mistral (HF LlamaForCausalLM layout), gemma v1
+(incl. gemma3 multimodal checkpoints via the nested ``language_model.model``
+prefix — text LM only), opt (OPTForCausalLM), bloom (BloomForCausalLM,
+per-head fused qkv de-interleaved), gpt2 (GPT2LMHeadModel, Conv1D split).
 """
 
 from __future__ import annotations
@@ -101,6 +104,51 @@ def config_from_hf(model_dir: str) -> ModelConfig:
             linear_bias=True,
             tie_embeddings=bool(hc.get("tie_word_embeddings", True)),
         )
+    if "gemma" in arch or mt in ("gemma", "gemma3_text", "gemma3"):
+        if "gemma2" in arch or mt == "gemma2":
+            raise ValueError(
+                "gemma2's extra pre/post-feedforward norms and logit softcap "
+                "are not modeled yet; gemma (v1) checkpoints are supported"
+            )
+        return ModelConfig(
+            family="gemma",
+            vocab_size=hc["vocab_size"],
+            dim=hc["hidden_size"],
+            n_layers=hc["num_hidden_layers"],
+            n_heads=hc["num_attention_heads"],
+            n_kv_heads=hc.get("num_key_value_heads"),
+            intermediate=hc["intermediate_size"],
+            head_dim=hc.get("head_dim", 256),
+            max_seq_len=hc.get("max_position_embeddings", 8192),
+            norm="rmsnorm",
+            norm_eps=hc.get("rms_norm_eps", 1e-6),
+            pos="rope",
+            rope_theta=hc.get("rope_theta", 10000.0),
+            act="gelu",
+            gated_mlp=True,
+            tie_embeddings=True,
+            embed_scale=float(hc["hidden_size"]) ** 0.5,
+            norm_plus_one=True,
+        )
+    if "bloom" in arch or mt == "bloom":
+        D = hc["hidden_size"]
+        return ModelConfig(
+            family="bloom",
+            vocab_size=hc["vocab_size"],
+            dim=D,
+            n_layers=hc.get("num_hidden_layers", hc.get("n_layer")),
+            n_heads=hc.get("num_attention_heads", hc.get("n_head")),
+            intermediate=4 * D,
+            max_seq_len=hc.get("seq_length", 2048),
+            norm="layernorm",
+            norm_eps=hc.get("layer_norm_epsilon", 1e-5),
+            pos="alibi",
+            act="gelu",
+            gated_mlp=False,
+            linear_bias=True,
+            tie_embeddings=True,
+            embed_norm=True,
+        )
     if "gpt2" in arch or mt == "gpt2":
         return ModelConfig(
             family="gpt2",
@@ -131,10 +179,53 @@ def _lin(t, wkey, bkey=None, dtype=jnp.bfloat16, transpose=False):
     return DenseLinear(w=jnp.asarray(w, dtype), b=b)
 
 
-def _llama_layers(cfg, t, dtype):
+def _bloom_layers(cfg, t, dtype):
+    """Bloom: fused query_key_value is per-head [q_h|k_h|v_h] interleaved —
+    de-interleave into our separate q/k/v (ref model.py:156-157 walks
+    ``transformer.h``; the de-interleave is new here because we run the
+    model ourselves instead of through HF)."""
+    H, hd, D = cfg.n_heads, cfg.hd, cfg.dim
+    layers = []
+    pre = "transformer." if "transformer.h.0.input_layernorm.weight" in t else ""
+    for i in range(cfg.n_layers):
+        p = f"{pre}h.{i}."
+        qkv_w = np.asarray(t[p + "self_attention.query_key_value.weight"], np.float32)
+        qkv_b = np.asarray(t[p + "self_attention.query_key_value.bias"], np.float32)
+        w3 = qkv_w.reshape(H, 3, hd, D)
+        b3 = qkv_b.reshape(H, 3, hd)
+        lay = {
+            "ln1_w": jnp.asarray(t[p + "input_layernorm.weight"], dtype),
+            "ln1_b": jnp.asarray(t[p + "input_layernorm.bias"], dtype),
+            "ln2_w": jnp.asarray(t[p + "post_attention_layernorm.weight"], dtype),
+            "ln2_b": jnp.asarray(t[p + "post_attention_layernorm.bias"], dtype),
+            "gate": None,
+            "q": DenseLinear(
+                jnp.asarray(w3[:, 0].reshape(H * hd, D), dtype),
+                jnp.asarray(b3[:, 0].reshape(H * hd), dtype),
+            ),
+            "k": DenseLinear(
+                jnp.asarray(w3[:, 1].reshape(H * hd, D), dtype),
+                jnp.asarray(b3[:, 1].reshape(H * hd), dtype),
+            ),
+            "v": DenseLinear(
+                jnp.asarray(w3[:, 2].reshape(H * hd, D), dtype),
+                jnp.asarray(b3[:, 2].reshape(H * hd), dtype),
+            ),
+            "o": _lin(t, p + "self_attention.dense.weight",
+                      p + "self_attention.dense.bias", dtype),
+            "up": _lin(t, p + "mlp.dense_h_to_4h.weight",
+                       p + "mlp.dense_h_to_4h.bias", dtype),
+            "down": _lin(t, p + "mlp.dense_4h_to_h.weight",
+                         p + "mlp.dense_4h_to_h.bias", dtype),
+        }
+        layers.append(lay)
+    return layers
+
+
+def _llama_layers(cfg, t, dtype, prefix="model."):
     layers = []
     for i in range(cfg.n_layers):
-        p = f"model.layers.{i}."
+        p = f"{prefix}layers.{i}."
         lay = {
             "ln1_w": jnp.asarray(t[p + "input_layernorm.weight"], dtype),
             "ln1_b": None,
@@ -232,11 +323,32 @@ def load_hf_model(
         lnf_w = t[pre + "ln_f.weight"]
         lnf_b = t[pre + "ln_f.bias"]
         head = None
-    else:  # llama family
-        layers = _llama_layers(cfg, t, dtype)
-        embed = t["model.embed_tokens.weight"]
+    elif fam == "bloom":
+        layers = _bloom_layers(cfg, t, dtype)
+        pre = (
+            "transformer."
+            if "transformer.word_embeddings.weight" in t
+            else ""
+        )
+        embed = t[pre + "word_embeddings.weight"]
         pos = None
-        lnf_w = t["model.norm.weight"]
+        lnf_w = t[pre + "ln_f.weight"]
+        lnf_b = t[pre + "ln_f.bias"]
+        head = None
+        emb_ln = (
+            t[pre + "word_embeddings_layernorm.weight"],
+            t[pre + "word_embeddings_layernorm.bias"],
+        )
+    else:  # llama/gemma families (gemma3 multimodal nests the LM)
+        prefix = (
+            "language_model.model."
+            if "language_model.model.embed_tokens.weight" in t
+            else "model."
+        )
+        layers = _llama_layers(cfg, t, dtype, prefix)
+        embed = t[prefix + "embed_tokens.weight"]
+        pos = None
+        lnf_w = t[prefix + "norm.weight"]
         lnf_b = None
         head = None if cfg.tie_embeddings else t.get("lm_head.weight")
 
@@ -248,4 +360,7 @@ def load_hf_model(
         "lnf_b": None if lnf_b is None else jnp.asarray(lnf_b, dtype),
         "lm_head": None if head is None else DenseLinear(jnp.asarray(head, dtype), None),
     }
+    if fam == "bloom":
+        params["emb_ln_w"] = jnp.asarray(emb_ln[0], dtype)
+        params["emb_ln_b"] = jnp.asarray(emb_ln[1], dtype)
     return cfg, params
