@@ -76,7 +76,13 @@ def bench_prefill(cfg, params, seq_len, impl, reps=3, batch=1):
 
     # params must be jit ARGUMENTS: closing over them bakes the packed
     # model in as 2.8 GB of lowered constants (measured; glacial compiles).
-    f = jax.jit(lambda p, t: dec.forward(cfg, p, t, impl=impl))
+    # Reduce to a scalar on device: fetching (B, L, V) logits through the
+    # tunnel costs ~0.5 s at L=512 and corrupts the slope.
+    f = jax.jit(
+        lambda p, t: jnp.sum(
+            dec.forward(cfg, p, t, impl=impl).astype(jnp.float32)
+        )
+    )
 
     def run(L):
         toks = jnp.ones((batch, L), jnp.int32)
