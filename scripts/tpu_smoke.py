@@ -1,0 +1,103 @@
+"""On-chip correctness smoke: Pallas kernels vs XLA reference on the REAL TPU.
+
+The test suite runs kernels in interpret mode on CPU (tests/conftest.py);
+this script is the hardware gate — run it whenever kernels change:
+
+    python scripts/tpu_smoke.py
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+
+def check(name, got, want, atol):
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    err = float(np.max(np.abs(got - want)))
+    rel = err / max(1e-9, float(np.max(np.abs(want))))
+    ok = rel <= atol
+    print(f"  {'OK ' if ok else 'FAIL'} {name}: max rel err {rel:.2e}")
+    return ok
+
+
+def main():
+    assert jax.default_backend() == "tpu", "run on the TPU"
+    from pt2tpu.ops.gather import apply_input_perm, gather_apply, make_packed_gather
+    from pt2tpu.ops.ternary_matmul import (
+        ternary_linear_apply,
+        ternary_linear_apply_stacked,
+        ternary_matmul_xla,
+    )
+    from pt2tpu.ops.kernels.pallas_ternary import (
+        ternary_matmul_pallas,
+        ternary_matmul_pallas_stacked,
+    )
+    from pt2tpu.utils.randmodel import random_ternary_linear
+
+    rng = np.random.default_rng(0)
+    ok = True
+
+    # 1. fused kernel vs XLA blockwise, several shapes (incl. ragged nb=96)
+    for K, n in [(4096, 4096), (4096, 12288), (12288, 4096), (2048, 22016)]:
+        packed = jnp.asarray(rng.integers(-128, 128, (K // 4, n)), jnp.int8)
+        nb = K // 128
+        alpha = jnp.asarray(rng.uniform(0.01, 0.02, (nb, n)), jnp.bfloat16)
+        mu = jnp.asarray(rng.normal(0, 0.001, (nb, n)), jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((16, K)), jnp.bfloat16)
+        got = ternary_matmul_pallas(x, packed, alpha, mu)
+        want = ternary_matmul_xla(x, packed, alpha, mu)
+        ok &= check(f"kernel {K}x{n}", got, want, 2e-2)
+
+    # 2. one-hot gather kernel: bit-exact
+    m = 4096
+    perm = np.concatenate(
+        [rng.permutation(m), np.full(0, m)]
+    ).astype(np.int32)
+    g = make_packed_gather(jnp.asarray(perm), m)
+    x = jnp.asarray(rng.standard_normal((3, m)), jnp.bfloat16)
+    got = gather_apply(g, x, impl="pallas")
+    want = apply_input_perm(x, jnp.asarray(perm), m)
+    exact = bool((np.asarray(got) == np.asarray(want)).all())
+    print(f"  {'OK ' if exact else 'FAIL'} gather exact")
+    ok &= exact
+
+    # 3. stacked layer-indexed kernel vs per-layer apply (with SSR gathers)
+    L = 3
+    ps = [
+        random_ternary_linear(jax.random.PRNGKey(i), 512, 1024, perm_mode="ssr")
+        for i in range(L)
+    ]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ps)
+    x = jnp.asarray(rng.standard_normal((2, 1024)), jnp.bfloat16)
+    for li in range(L):
+        got = ternary_linear_apply_stacked(stacked, x, jnp.int32(li), impl="pallas")
+        want = ternary_linear_apply(ps[li], x, impl="pallas")
+        ok &= check(f"stacked layer {li}", got, want, 1e-6)
+
+    # 4. short greedy decode: pallas tokens == xla tokens
+    from pt2tpu.models import get_config
+    from pt2tpu.serve import greedy_generate
+    from pt2tpu.utils.randmodel import random_ternary_params
+
+    cfg = get_config("llama-2-7b").with_(n_layers=2, max_seq_len=64)
+    params = random_ternary_params(cfg, jax.random.PRNGKey(7), perm_mode="ssr")
+    prompt = jnp.ones((1, 8), jnp.int32)
+    tp = greedy_generate(cfg, params, prompt, max_new=8, max_len=32, impl="pallas")
+    tx = greedy_generate(cfg, params, prompt, max_new=8, max_len=32, impl="xla")
+    same = bool((np.asarray(tp) == np.asarray(tx)).all())
+    print(f"  {'OK ' if same else 'FAIL'} decode tokens pallas == xla: "
+          f"{np.asarray(tp).tolist()} vs {np.asarray(tx).tolist()}")
+    ok &= same
+
+    print("SMOKE", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
