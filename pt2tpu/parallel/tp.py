@@ -43,7 +43,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models import decoder as dec
 from ..models.common import apply_linear, attention, causal_mask, rms_norm
-from ..ops.gather import PackedGather, gather_apply
+from ..ops.gather import PackedGather
 from ..ops.ternary_matmul import PackedTernaryLinear, ternary_matmul_xla
 
 __all__ = [
