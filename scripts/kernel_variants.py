@@ -73,6 +73,28 @@ def make_kernel(variant: str, bps: int):
                 ]
                 u = jnp.concatenate(planes, axis=0).astype(cdt)
                 d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
+            elif variant == "int8_dot":
+                # W2A8 probe: codes stay int8, x pre-quantized int8, MXU
+                # int8xint8->int32 (xq is a speed probe; real mode would
+                # carry per-row scales).
+                pk32 = pk.astype(jnp.int32)
+                planes = [
+                    ((pk32 >> (2 * q)) & 3).astype(jnp.int8) for q in range(4)
+                ]
+                u = jnp.concatenate(planes, axis=0)  # (BS, tn) int8
+                xq = (xb * 16.0).astype(jnp.int8)
+                d = jnp.dot(
+                    xq, u, preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * (1.0 / 16.0)
+            elif variant == "tree4":
+                # two-level field extraction: 2 ops to 4-bit halves, then
+                # 4 ops on half-volume tiles (6 quarter-passes vs 8).
+                pk32 = pk.astype(jnp.int32)
+                lo4 = pk32 & 0x0F
+                hi4 = (pk32 >> 4) & 0x0F
+                planes = [lo4 & 3, lo4 >> 2, hi4 & 3, hi4 >> 2]
+                u = jnp.concatenate(planes, axis=0).astype(cdt)
+                d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
             elif variant == "bf16_arith":
                 # Field extraction in bf16 arithmetic: one int8->bf16 cast of
                 # the packed byte, then divides/floors (no integer shifts).
@@ -158,7 +180,7 @@ def main():
 
     # correctness cross-check for the exact variants
     ref = run_variant(x0, packed, alpha, mu, variant="baseline")
-    for v in ["quarter_dots", "uint_widen", "bf16_arith"]:
+    for v in ["quarter_dots", "uint_widen", "tree4"]:
         try:
             got = run_variant(x0, packed, alpha, mu, variant=v)
             err = float(jnp.max(jnp.abs(got - ref)))
@@ -166,7 +188,7 @@ def main():
         except Exception as e:
             print(f"{v}: FAIL {type(e).__name__}: {e}", flush=True)
 
-    for v in ["baseline", "no_offset", "no_unpack", "quarter_dots", "uint_widen", "bf16_arith"]:
+    for v in ["baseline", "tree4", "int8_dot", "no_unpack"]:
         try:
             t = time_chain(
                 lambda c: run_variant(c, packed, alpha, mu, variant=v), x0
