@@ -124,6 +124,11 @@ def main():
         help="ternary: quantized lm_head (QuantConfig.quantize_lm_head) — "
         "cuts the ~0.26 GB/token bf16 head read to ~33 MB",
     )
+    ap.add_argument(
+        "--a8", action="store_true",
+        help="W2A8: per-row int8 activations + int8 MXU dots in the fused "
+        "kernel (skips the full-volume int32->bf16 unpack cast)",
+    )
     ap.add_argument("--no-dense", action="store_true", help="skip dense baseline")
     ap.add_argument(
         "--time-budget", type=float, default=1500.0,
@@ -153,7 +158,7 @@ def main():
     if args.layers:
         cfg = cfg.with_(n_layers=args.layers)
     cfg = cfg.with_(max_seq_len=max(cfg.max_seq_len, args.prompt + args.new))
-    impl = "auto"
+    impl = "a8" if args.a8 else "auto"
 
     tparams = random_ternary_params(
         cfg,

@@ -107,7 +107,7 @@ def gather_apply(
         raise ValueError(f"input features {m} != gather in_features {g.in_features}")
     x2 = x.reshape(-1, m)
     stacked = g.packed.ndim == 3
-    use_pallas = impl == "pallas" or (
+    use_pallas = impl in ("pallas", "a8") or (
         impl == "auto" and jax.default_backend() == "tpu"
     )
     if use_pallas:

@@ -33,7 +33,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ternary_matmul_pallas", "ternary_matmul_pallas_stacked"]
+__all__ = [
+    "ternary_matmul_pallas",
+    "ternary_matmul_pallas_stacked",
+    "quantize_rows_i8",
+]
 
 
 def _pick_tile_n(n: int, want: int) -> int:
@@ -98,7 +102,7 @@ def _pick_tiles(n: int, nb: int, bs: int, Bp: int, want_tn: int, want_bps: int):
     return tn, bps
 
 
-def _make_kernel(bps: int, bs: int):
+def _make_kernel(bps: int, bs: int, a8: bool = False):
     bs4 = bs // 4
 
     def _kernel(x_ref, packed_ref, alpha_ref, mu_ref, o_ref):
@@ -120,11 +124,20 @@ def _make_kernel(bps: int, bs: int):
         # blocksum(x) = x_step @ O with O the (bps*bs, bps) block-indicator —
         # a small MXU dot, NOT a lane reduction (an in-kernel (B,1)
         # lane-reduce + broadcast measured ~300x slower: 28 ms vs 95 us).
-        xs = x_ref[:].astype(cdt)  # (B, bps*bs)
+        #
+        # a8 (W2A8): x arrives pre-quantized int8 (per-row scale applied by
+        # the wrapper OUTSIDE the kernel, uniformly across both terms). The
+        # unpacked codes then stay int8 — skipping the full-volume
+        # int32->bf16 cast — and the dots run on the int8 MXU path
+        # (measured -15% vs the bf16 pipeline at qkv shape).
+        xs = x_ref[:] if a8 else x_ref[:].astype(cdt)  # (B, bps*bs)
         row_blk = jax.lax.broadcasted_iota(jnp.int32, (bps * bs, bps), 0) // bs
         col_blk = jax.lax.broadcasted_iota(jnp.int32, (bps * bs, bps), 1)
         ones_blocks = (row_blk == col_blk).astype(cdt)
-        smat = jnp.dot(xs, ones_blocks, preferred_element_type=jnp.float32)
+        # int8 values <= 127 are exact in bf16; blocksum accumulates in f32.
+        smat = jnp.dot(
+            xs.astype(cdt), ones_blocks, preferred_element_type=jnp.float32
+        )
         offset = (mu_ref[:] - alpha_ref[:]).astype(cdt)  # (bps, TN)
         acc += jnp.dot(
             smat.astype(cdt), offset, preferred_element_type=jnp.float32
@@ -133,17 +146,37 @@ def _make_kernel(bps: int, bs: int):
         for p in range(bps):  # static unroll; all slices compile-time aligned
             pk = packed_ref[p * bs4 : (p + 1) * bs4, :].astype(jnp.int32)
             planes = [((pk >> (2 * q)) & 3) for q in range(4)]
-            u = jnp.concatenate(planes, axis=0).astype(cdt)  # (bs, TN) {0,1,2}
             xb = xs[:, p * bs : (p + 1) * bs]  # (B, bs)
-            d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
+            if a8:
+                u8 = jnp.concatenate(
+                    [q_.astype(jnp.int8) for q_ in planes], axis=0
+                )  # (bs, TN) int8 {0,1,2}
+                d = jnp.dot(
+                    xb, u8, preferred_element_type=jnp.int32
+                ).astype(jnp.float32)
+            else:
+                u = jnp.concatenate(planes, axis=0).astype(cdt)
+                d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
             acc += d * alpha_ref[p : p + 1, :].astype(jnp.float32)
         o_ref[:] += acc
 
     return _kernel
 
 
+def quantize_rows_i8(x: jax.Array):
+    """Per-row symmetric absmax INT8 activation quantization (W2A8 mode).
+
+    Returns (xq int8, sx f32 (B, 1)) with x ≈ xq * sx.
+    """
+    x32 = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, 1e-12)
+    xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
 @functools.partial(
-    jax.jit, static_argnames=("block_size", "tile_n", "blocks_per_step")
+    jax.jit, static_argnames=("block_size", "tile_n", "blocks_per_step", "a8")
 )
 def ternary_matmul_pallas_stacked(
     x: jax.Array,
@@ -155,6 +188,7 @@ def ternary_matmul_pallas_stacked(
     block_size: int = 128,
     tile_n: int = 4096,
     blocks_per_step: int = 16,
+    a8: bool = False,
 ) -> jax.Array:
     """Layer-indexed variant for scan-over-layers decode loops.
 
@@ -177,15 +211,19 @@ def ternary_matmul_pallas_stacked(
     if n % 128 != 0:
         raise ValueError(f"out_features {n} must be a multiple of 128")
     B = x.shape[0]
-    tb = min(max(16, -(-B // 16) * 16), 256)
+    row_tile = 32 if a8 else 16  # int8 sublane tile is 32
+    tb = min(max(row_tile, -(-B // row_tile) * row_tile), 256)
     Bp = -(-B // tb) * tb
     tn, bps = _pick_tiles(n, nb, bs, tb, tile_n, blocks_per_step)
     bs4 = bs // 4
     if Bp != B:
         x = jnp.pad(x, ((0, Bp - B), (0, 0)))
-    x = x.astype(jnp.bfloat16)
+    if a8:
+        x, sx = quantize_rows_i8(x)
+    else:
+        x = x.astype(jnp.bfloat16)
 
-    inner = _make_kernel(bps, bs)
+    inner = _make_kernel(bps, bs, a8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -227,11 +265,13 @@ def ternary_matmul_pallas_stacked(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.float32),
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x, packed, alpha, mu)
+    if a8:
+        out = out * sx
     return out[:B]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_size", "tile_n", "blocks_per_step")
+    jax.jit, static_argnames=("block_size", "tile_n", "blocks_per_step", "a8")
 )
 def ternary_matmul_pallas(
     x: jax.Array,
@@ -242,6 +282,7 @@ def ternary_matmul_pallas(
     block_size: int = 128,
     tile_n: int = 4096,
     blocks_per_step: int = 16,
+    a8: bool = False,
 ) -> jax.Array:
     """out = x @ dequant(packed, alpha, mu); (B, K) x (K//4, n) -> (B, n) f32.
 
@@ -262,17 +303,21 @@ def ternary_matmul_pallas(
     B = x.shape[0]
     # Batch rows are tiled too (prefill/eval run thousands of rows; an
     # all-rows output tile would blow VMEM). tb caps the row tile at 256.
-    tb = min(max(16, -(-B // 16) * 16), 256)
+    row_tile = 32 if a8 else 16  # int8 sublane tile is 32
+    tb = min(max(row_tile, -(-B // row_tile) * row_tile), 256)
     Bp = -(-B // tb) * tb
     tn, bps = _pick_tiles(n, nb, bs, tb, tile_n, blocks_per_step)
     bs4 = bs // 4
     if Bp != B:
         x = jnp.pad(x, ((0, Bp - B), (0, 0)))
-    x = x.astype(jnp.bfloat16)
+    if a8:
+        x, sx = quantize_rows_i8(x)
+    else:
+        x = x.astype(jnp.bfloat16)
 
     grid = (Bp // tb, n // tn, nb // bps)
     out = pl.pallas_call(
-        _make_kernel(bps, bs),
+        _make_kernel(bps, bs, a8),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -295,4 +340,6 @@ def ternary_matmul_pallas(
             transcendentals=0,
         ),
     )(x, packed, alpha, mu)
+    if a8:
+        out = out * sx
     return out[:B]

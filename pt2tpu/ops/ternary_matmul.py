@@ -304,7 +304,7 @@ def ternary_linear_apply_stacked(
     xk = _input_lanes(p, x2, K, impl, layer_idx)
 
     bs = K4 * 4 // p.alpha.shape[-2]
-    use_pallas = impl == "pallas" or (
+    use_pallas = impl in ("pallas", "a8") or (
         impl == "auto"
         and jax.default_backend() == "tpu"
         and bs % 128 == 0
@@ -314,7 +314,8 @@ def ternary_linear_apply_stacked(
         from .kernels.pallas_ternary import ternary_matmul_pallas_stacked
 
         out = ternary_matmul_pallas_stacked(
-            xk, p.packed, p.alpha, p.mu, layer_idx, block_size=bs
+            xk, p.packed, p.alpha, p.mu, layer_idx, block_size=bs,
+            a8=impl == "a8",
         )
     else:
         out = ternary_matmul_xla(
@@ -346,7 +347,7 @@ def ternary_linear_apply(
     xk = _input_lanes(p, x2, K, impl)  # (B, K)
 
     bs = p.block_size
-    use_pallas = impl == "pallas" or (
+    use_pallas = impl in ("pallas", "a8") or (
         impl == "auto"
         and jax.default_backend() == "tpu"
         and bs % 128 == 0
@@ -355,7 +356,9 @@ def ternary_linear_apply(
     if use_pallas:
         from .kernels.pallas_ternary import ternary_matmul_pallas
 
-        out = ternary_matmul_pallas(xk, p.packed, p.alpha, p.mu, block_size=bs)
+        out = ternary_matmul_pallas(
+            xk, p.packed, p.alpha, p.mu, block_size=bs, a8=impl == "a8"
+        )
     else:
         out = ternary_matmul_xla(xk, p.packed, p.alpha, p.mu, block_size=bs)
 

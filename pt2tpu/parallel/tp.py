@@ -55,6 +55,7 @@ __all__ = [
     "prepare_tp_params",
     "tp_param_specs",
     "tp_generate",
+    "make_tp_engine_fns",
 ]
 
 
@@ -175,6 +176,7 @@ def tp_layer_forward(
     mask: Optional[jax.Array],
     cache: Optional[Any] = None,  # KVLayerView with LOCAL kv heads
     cache_pos: Optional[jax.Array] = None,
+    kv_valid: Optional[jax.Array] = None,  # (B, M) bool cache validity
     axis: str = "model",
     chunks: int = 2,
     impl: str = "auto",
@@ -201,9 +203,14 @@ def tp_layer_forward(
         q = dec.apply_rope(q, cos, sin)
         k = dec.apply_rope(k, cos, sin)
     if cache is not None:
-        new_kv = cache.write(k, v, cache_pos)
+        # scalar pos (prefill/lockstep) vs per-row positions (continuous
+        # batching, L == 1) — mirrors models/decoder.layer_forward.
+        if jnp.ndim(cache_pos) == 0:
+            new_kv = cache.write(k, v, cache_pos)
+        else:
+            new_kv = cache.write_rows(k, v, cache_pos)
         ck, cv = new_kv.read(q.dtype)
-        ctx = attention(q, ck, cv, mask)
+        ctx = attention(q, ck, cv, mask, kv_valid)
     else:
         ctx = attention(q, k, v, mask)
         new_kv = None
@@ -521,3 +528,136 @@ def tp_generate(
         )
     )
     return fn(params, prompt)
+
+
+# ---------------------------------------------------- engine TP hooks ----
+def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1,
+                       impl: str = "auto"):
+    """(prefill_fn, decode_fn) for serve.ServeEngine under manual TP.
+
+    Same contracts as the engine's default jitted programs, but the whole
+    step runs inside shard_map: column/row-parallel ternary kernels stay
+    shard-local and the slot-pool KV cache is head-sharded on 'model'.
+    ``params`` must be prepared with prepare_tp_params. Unquantized KV only
+    (INT8 pool scales are a per-shard layout question left for the GSPMD
+    path); rope/learned position models.
+    """
+    from ..serve.kvcache import KVCache, KVLayerView
+
+    if cfg.pos not in ("rope", "learned"):
+        raise NotImplementedError("TP engine supports rope/learned positions")
+    pspecs = tp_param_specs(params)
+    kv_spec = P(None, None, None, "model", None)
+    cache_spec = KVCache(k=kv_spec, v=kv_spec, k_scale=None, v_scale=None,
+                         length=P())
+
+    def _rope(M):
+        if cfg.pos == "rope":
+            return dec.rope_tables(cfg.hd, M, cfg.rope_theta)
+        return (jnp.zeros((M, 1), jnp.float32),) * 2
+
+    def _decode_body(params_, tokens, cache, positions, active):
+        B = tokens.shape[0]
+        M = cache.max_len
+        x = jnp.take(params_["embed"], tokens[:, None], axis=0)  # (B,1,D)
+        if cfg.pos == "learned":
+            x = x + jnp.take(
+                params_["pos_embed"], positions + cfg.pos_offset, axis=0
+            )[:, None]
+        cos_all, sin_all = _rope(M)
+        cos = jnp.take(cos_all, positions, axis=0)[:, None]
+        sin = jnp.take(sin_all, positions, axis=0)[:, None]
+        kv_valid = jnp.arange(M)[None, :] <= positions[:, None]
+        views = KVLayerView(k=cache.k, v=cache.v, k_scale=None, v_scale=None)
+
+        def body(h, xs):
+            li, kvl = xs
+            lp = dec.layer_view(params_["layers"], li)
+            y, kv = tp_layer_forward(
+                cfg, lp, h, cos, sin, None, cache=kvl, cache_pos=positions,
+                kv_valid=kv_valid, axis="model", chunks=chunks, impl=impl,
+                layer_idx=li,
+            )
+            return y, kv
+
+        h, new_views = jax.lax.scan(body, x, (jnp.arange(cfg.n_layers), views))
+        logits = dec.unembed(cfg, params_, h)[:, 0]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(active, nxt, 0)
+        return nxt, cache.with_layers(new_views, cache.length)
+
+    decode_sm = jax.jit(
+        jax.shard_map(
+            _decode_body,
+            mesh=mesh,
+            in_specs=(pspecs, P(None), cache_spec, P(None), P(None)),
+            out_specs=(P(None), cache_spec),
+            check_vma=False,
+        )
+    )
+
+    def _prefill_body(slot):
+        def run(params_, prompt, true_len, cache):
+            M = cache.max_len
+            Lb = prompt.shape[1]
+            ways = jax.lax.psum(1, "model")
+            Hkv_local = cfg.kv_heads // ways
+            tshape = (cfg.n_layers, 1, M, Hkv_local, cfg.hd)
+            tmp = KVLayerView(
+                k=jnp.zeros(tshape, cache.k.dtype),
+                v=jnp.zeros(tshape, cache.v.dtype),
+                k_scale=None, v_scale=None,
+            )
+            h = dec.embed_tokens(cfg, params_, prompt)
+            cos_all, sin_all = _rope(M)
+            cos, sin = cos_all[:Lb], sin_all[:Lb]
+            mask = dec.build_mask(cfg, Lb, M)
+
+            def body(x, xs):
+                li, kvl = xs
+                lp = dec.layer_view(params_["layers"], li)
+                y, kv = tp_layer_forward(
+                    cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=0,
+                    axis="model", chunks=chunks, impl=impl, layer_idx=li,
+                )
+                return y, kv
+
+            h, new_views = jax.lax.scan(
+                body, h, (jnp.arange(cfg.n_layers), tmp)
+            )
+            h_last = jax.lax.dynamic_slice_in_dim(h, true_len - 1, 1, axis=1)
+            logits = dec.unembed(cfg, params_, h_last)[:, 0]
+
+            def put(pool, row):
+                return pool.at[:, slot].set(row[:, 0])
+
+            new_cache = KVCache(
+                k=put(cache.k, new_views.k),
+                v=put(cache.v, new_views.v),
+                k_scale=None, v_scale=None,
+                length=cache.length,
+            )
+            return jnp.argmax(logits[0]).astype(jnp.int32), new_cache
+
+        return run
+
+    prefill_cache = {}
+
+    def prefill_fn(cfg_, params_, prompt, true_len, cache, slot, impl_="auto"):
+        key = (slot, prompt.shape[1])
+        if key not in prefill_cache:
+            prefill_cache[key] = jax.jit(
+                jax.shard_map(
+                    _prefill_body(slot),
+                    mesh=mesh,
+                    in_specs=(pspecs, P(None, None), P(), cache_spec),
+                    out_specs=(P(), cache_spec),
+                    check_vma=False,
+                )
+            )
+        return prefill_cache[key](params_, prompt, jnp.int32(true_len), cache)
+
+    def decode_fn(cfg_, params_, tokens, cache, positions, active, impl_="auto"):
+        return decode_sm(params_, tokens, cache, positions, active)
+
+    return prefill_fn, decode_fn

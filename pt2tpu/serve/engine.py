@@ -169,13 +169,25 @@ class ServeEngine:
         max_len: int = 2048,
         kv_quant: bool = False,
         impl: str = "auto",
+        prefill_fn=None,
+        decode_fn=None,
+        kv_heads: Optional[int] = None,
     ):
+        """``prefill_fn``/``decode_fn`` override the default jitted programs
+        with strategy-specific ones sharing the same contracts — e.g.
+        ``parallel.tp.make_tp_engine_fns`` for manual tensor parallelism
+        (head-sharded pool cache, shard-local kernels). ``kv_heads``
+        overrides the pool's kv-head count (unused by the TP fns, which
+        shard the standard pool)."""
         self.cfg = cfg
         self.params = params
         self.B = max_batch
         self.M = max_len
         self.impl = impl
-        self.cache = init_cache(cfg, max_batch, max_len, quantized=kv_quant)
+        self._prefill_fn = prefill_fn or _prefill_into_slot
+        self._decode_fn = decode_fn or _decode_step
+        cache_cfg = cfg if kv_heads is None else cfg.with_(n_kv_heads=kv_heads)
+        self.cache = init_cache(cache_cfg, max_batch, max_len, quantized=kv_quant)
         self.queue: List[Request] = []
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.positions = np.zeros(max_batch, np.int32)  # next write position
@@ -220,7 +232,7 @@ class ServeEngine:
             Lb = min(_bucket(Lp), self.M)
             padded = np.zeros(Lb, np.int32)
             padded[:Lp] = req.prompt
-            nxt, self.cache = _prefill_into_slot(
+            nxt, self.cache = self._prefill_fn(
                 self.cfg,
                 self.params,
                 jnp.asarray(padded[None, :]),
@@ -254,7 +266,7 @@ class ServeEngine:
         active = np.array([r is not None for r in self.slots])
         if not active.any():
             return bool(self.queue)
-        nxt, self.cache = _decode_step(
+        nxt, self.cache = self._decode_fn(
             self.cfg,
             self.params,
             jnp.asarray(self.tokens),

@@ -101,3 +101,24 @@ def test_scale_dtype_bf16_quality(rng):
     )
     denom = np.maximum(np.abs(out32), 1e-2)
     assert np.median(np.abs(out16 - out32) / denom) < 0.02
+
+
+def test_pallas_a8_close_to_xla(rng):
+    """W2A8 mode (int8 activations + int8 MXU dots) stays within the
+    per-row absmax quantization error envelope of the exact result."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pt2tpu.ops.ternary_matmul import ternary_matmul_xla
+
+    K, n = 256, 256
+    nb = K // 128
+    packed = jnp.asarray(rng.integers(-128, 128, (K // 4, n)), jnp.int8)
+    alpha = jnp.asarray(rng.uniform(0.01, 0.02, (nb, n)), jnp.float32)
+    mu = jnp.asarray(rng.normal(0, 0.002, (nb, n)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, K)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = ternary_matmul_pallas(x, packed, alpha, mu, tile_n=128, a8=True)
+    want = ternary_matmul_xla(x, packed, alpha, mu)
+    denom = float(jnp.max(jnp.abs(want))) + 1e-9
+    rel = float(jnp.max(jnp.abs(got - want))) / denom
+    assert rel < 0.02, rel

@@ -82,3 +82,36 @@ def test_tp_generate_matches_greedy(rng, perm_mode):
     tp_params = prepare_tp_params(cfg, params, ways=4)
     got = tp_generate(cfg, mesh, tp_params, prompt, max_new=6, max_len=32, impl="xla")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_tp_engine_matches_default(rng):
+    """Continuous-batching engine under manual TP == default engine."""
+    from pt2tpu.parallel.tp import make_tp_engine_fns, prepare_tp_params
+    from pt2tpu.serve.engine import ServeEngine
+
+    cfg = get_config("tiny-llama")
+    params = random_ternary_params(cfg, jax.random.PRNGKey(9), perm_mode="ssr")
+
+    def run(engine):
+        reqs = [
+            engine.submit(rng2.integers(0, cfg.vocab_size, (lp,)), max_new=5)
+            for lp, rng2 in zip(
+                [3, 9, 5, 17, 2],
+                [np.random.default_rng(s) for s in range(5)],
+            )
+        ]
+        engine.run()
+        return [r.out for r in reqs]
+
+    want = run(ServeEngine(cfg, params, max_batch=3, max_len=64, impl="xla"))
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    tp_params = prepare_tp_params(cfg, params, ways=4)
+    pf, df = make_tp_engine_fns(cfg, mesh, tp_params, impl="xla")
+    got = run(
+        ServeEngine(
+            cfg, tp_params, max_batch=3, max_len=64, impl="xla",
+            prefill_fn=pf, decode_fn=df,
+        )
+    )
+    assert got == want
