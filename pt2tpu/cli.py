@@ -180,6 +180,7 @@ def cmd_generate(args):
         prompt,
         max_new=args.max_new,
         max_len=min(cfg.max_seq_len, prompt.shape[1] + args.max_new),
+        impl="a8" if args.a8 else "auto",
         kv_quant=args.kv_int8,
         sampling=scfg,
         key=jax.random.PRNGKey(args.seed),
@@ -271,6 +272,8 @@ def build_parser():
     g.add_argument("--prompt-ids", default=None)
     g.add_argument("--max-new", type=int, default=64)
     g.add_argument("--kv-int8", action="store_true")
+    g.add_argument("--a8", action="store_true",
+                   help="W2A8: int8 activations in the fused TPU kernels")
     g.add_argument("--temperature", type=float, default=0.0)
     g.add_argument("--top_k", type=int, default=0)
     g.add_argument("--top_p", type=float, default=1.0)
