@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "ternary_matmul_pallas",
     "ternary_matmul_pallas_stacked",
-    "quantize_rows_i8",
+    "normalize_rows_a8",
 ]
 
 
@@ -125,12 +125,19 @@ def _make_kernel(bps: int, bs: int, a8: bool = False):
         # a small MXU dot, NOT a lane reduction (an in-kernel (B,1)
         # lane-reduce + broadcast measured ~300x slower: 28 ms vs 95 us).
         #
-        # a8 (W2A8): x arrives pre-quantized int8 (per-row scale applied by
-        # the wrapper OUTSIDE the kernel, uniformly across both terms). The
-        # unpacked codes then stay int8 — skipping the full-volume
+        # a8 (W2A8): the wrapper pre-normalizes x to per-row absmax 127 and
+        # rescales the output; here the tiny x tile is rounded to int8 so
+        # the unpacked codes can stay int8 — skipping the full-volume
         # int32->bf16 cast — and the dots run on the int8 MXU path
-        # (measured -15% vs the bf16 pipeline at qkv shape).
-        xs = x_ref[:] if a8 else x_ref[:].astype(cdt)  # (B, bps*bs)
+        # (measured -15% vs the bf16 pipeline at qkv shape). x remains a
+        # bf16 operand (16-row tiles, same VMEM budget as the bf16 path);
+        # both terms consume the same quantized xs for affine consistency.
+        if a8:
+            xs = jnp.clip(
+                jnp.round(x_ref[:].astype(jnp.float32)), -127, 127
+            ).astype(jnp.int8)  # (B, bps*bs)
+        else:
+            xs = x_ref[:].astype(cdt)
         row_blk = jax.lax.broadcasted_iota(jnp.int32, (bps * bs, bps), 0) // bs
         col_blk = jax.lax.broadcasted_iota(jnp.int32, (bps * bs, bps), 1)
         ones_blocks = (row_blk == col_blk).astype(cdt)
@@ -163,16 +170,16 @@ def _make_kernel(bps: int, bs: int, a8: bool = False):
     return _kernel
 
 
-def quantize_rows_i8(x: jax.Array):
-    """Per-row symmetric absmax INT8 activation quantization (W2A8 mode).
-
-    Returns (xq int8, sx f32 (B, 1)) with x ≈ xq * sx.
+def normalize_rows_a8(x: jax.Array):
+    """Per-row absmax normalization for W2A8: x ≈ x_norm * sx with
+    |x_norm| <= 127. The kernel rounds x_norm to int8 in VMEM (the x tile
+    is tiny next to the weights); keeping x a bf16 operand preserves the
+    16-row tiling and VMEM budget of the bf16 path.
     """
     x32 = x.astype(jnp.float32)
     sx = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
     sx = jnp.maximum(sx, 1e-12)
-    xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
-    return xq, sx
+    return (x32 / sx).astype(jnp.bfloat16), sx
 
 
 @functools.partial(
@@ -211,15 +218,14 @@ def ternary_matmul_pallas_stacked(
     if n % 128 != 0:
         raise ValueError(f"out_features {n} must be a multiple of 128")
     B = x.shape[0]
-    row_tile = 32 if a8 else 16  # int8 sublane tile is 32
-    tb = min(max(row_tile, -(-B // row_tile) * row_tile), 256)
+    tb = min(max(16, -(-B // 16) * 16), 256)
     Bp = -(-B // tb) * tb
     tn, bps = _pick_tiles(n, nb, bs, tb, tile_n, blocks_per_step)
     bs4 = bs // 4
     if Bp != B:
         x = jnp.pad(x, ((0, Bp - B), (0, 0)))
     if a8:
-        x, sx = quantize_rows_i8(x)
+        x, sx = normalize_rows_a8(x)
     else:
         x = x.astype(jnp.bfloat16)
 
@@ -303,15 +309,14 @@ def ternary_matmul_pallas(
     B = x.shape[0]
     # Batch rows are tiled too (prefill/eval run thousands of rows; an
     # all-rows output tile would blow VMEM). tb caps the row tile at 256.
-    row_tile = 32 if a8 else 16  # int8 sublane tile is 32
-    tb = min(max(row_tile, -(-B // row_tile) * row_tile), 256)
+    tb = min(max(16, -(-B // 16) * 16), 256)
     Bp = -(-B // tb) * tb
     tn, bps = _pick_tiles(n, nb, bs, tb, tile_n, blocks_per_step)
     bs4 = bs // 4
     if Bp != B:
         x = jnp.pad(x, ((0, Bp - B), (0, 0)))
     if a8:
-        x, sx = quantize_rows_i8(x)
+        x, sx = normalize_rows_a8(x)
     else:
         x = x.astype(jnp.bfloat16)
 
