@@ -24,6 +24,8 @@ BS4 = 32
 
 
 def make_kernel(variant: str, bps: int):
+    rpb = 8 if variant.startswith("i32") else BS4  # packed rows per block
+
     def _kernel(x_ref, packed_ref, alpha_ref, mu_ref, o_ref):
         j = pl.program_id(2)
 
@@ -44,7 +46,7 @@ def make_kernel(variant: str, bps: int):
             acc += jnp.dot(smat.astype(cdt), offset, preferred_element_type=jnp.float32)
 
         for p in range(bps):
-            pk = packed_ref[p * BS4 : (p + 1) * BS4, :]
+            pk = packed_ref[p * rpb : (p + 1) * rpb, :]
             xb = xs[:, p * BS : (p + 1) * BS]
             if variant == "baseline" or variant == "no_offset":
                 pk32 = pk.astype(jnp.int32)
@@ -107,6 +109,178 @@ def make_kernel(variant: str, bps: int):
                 c0 = r2 - c1 * 4.0
                 u = jnp.concatenate([c0, c1, c2, c3], axis=0)
                 d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
+            elif variant in ("i32_planes", "i32_planes_a8"):
+                # packed_ref holds int32 words, 16 codes each; plane q of
+                # word-row s is code row q*8+s of the block. No int8 widen.
+                pk32 = pk  # (8, tn) int32 per block
+                planes = [((pk32 >> (2 * q)) & 3) for q in range(16)]
+                if variant == "i32_planes_a8":
+                    u = jnp.concatenate(
+                        [q_.astype(jnp.int8) for q_ in planes], axis=0
+                    )
+                    xq = (xb * 16.0).astype(jnp.int8)
+                    d = jnp.dot(
+                        xq, u, preferred_element_type=jnp.int32
+                    ).astype(jnp.float32) * (1.0 / 16.0)
+                else:
+                    u = jnp.concatenate(planes, axis=0).astype(cdt)
+                    d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
+            elif variant == "bitcast32":
+                # Cross-width bitcast probe: reinterpret the int8 tile as
+                # int32 in-register (layout = whatever Mosaic does; timing
+                # probe first, exact layout compensated offline if fast).
+                pk32 = pltpu.bitcast(pk, jnp.int32)  # (BS4//4, tn)?
+                planes = [((pk32 >> (2 * q)) & 3) for q in range(16)]
+                u = jnp.concatenate(planes, axis=0).astype(cdt)
+                d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
+            elif variant in ("i8_cmp", "i8_cmp_a8"):
+                # Field extraction without any int32: unsigned-range compares
+                # on the int8 byte itself (no i8 shifts on TPU, but compares
+                # and adds are native). Fields u_q in {0,1,2} so the byte is
+                # b = u0 + 4 u1 + 16 u2 + 64 u3 <= 170; threshold recovery:
+                #   u3 = (b>=64)+(b>=128), r = b-64*u3, u2 = (r>=16)+(r>=32)...
+                one = jnp.int8(1)
+                b = pltpu.bitcast(pk, jnp.uint8)
+                u3 = (b >= 64).astype(jnp.int8) + (b >= 128).astype(jnp.int8)
+                r3 = pltpu.bitcast(b, jnp.int8) - u3 * jnp.int8(64)
+                u2 = (r3 >= 16).astype(jnp.int8) + (r3 >= 32).astype(jnp.int8)
+                r2 = r3 - u2 * jnp.int8(16)
+                u1 = (r2 >= 4).astype(jnp.int8) + (r2 >= 8).astype(jnp.int8)
+                u0 = r2 - u1 * jnp.int8(4)
+                del one
+                if variant == "i8_cmp_a8":
+                    u = jnp.concatenate([u0, u1, u2, u3], axis=0)
+                    xq = (xb * 16.0).astype(jnp.int8)
+                    d = jnp.dot(
+                        xq, u, preferred_element_type=jnp.int32
+                    ).astype(jnp.float32) * (1.0 / 16.0)
+                else:
+                    u = jnp.concatenate([u0, u1, u2, u3], axis=0).astype(cdt)
+                    d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
+            elif variant in ("nomask_2dot", "i16_nomask_2dot"):
+                # Mask-free unpack: with zero-extended bytes, the raw shifted
+                # plane s_q = sum_{p>=q} 4^(p-q) c_p telescopes:
+                #   dot(x, masked) = dot(x, s) - 4*dot(shift32(x), s)
+                # so the 3 full-volume mask passes become one extra dot row
+                # block on the TINY x side (stacked into a single 2B-row dot).
+                B_ = xs.shape[0]
+                if variant == "i16_nomask_2dot":
+                    pkw = pltpu.bitcast(pk, jnp.uint8).astype(jnp.int16)
+                else:
+                    pkw = pltpu.bitcast(pk, jnp.uint8).astype(jnp.int32)
+                planes = [(pkw >> (2 * q)) for q in range(4)]  # no masks
+                u = jnp.concatenate(planes, axis=0).astype(cdt)  # <=255 exact
+                xb2 = jnp.concatenate(
+                    [jnp.zeros((B_, BS4), cdt), xb[:, : BS - BS4]], axis=1
+                )
+                xs2 = jnp.concatenate([xb, -4.0 * xb2], axis=0)  # (2B, BS)
+                d2 = jnp.dot(xs2, u, preferred_element_type=jnp.float32)
+                d = d2[:B_] + d2[B_:]
+            elif variant == "bf16_floors":
+                # All-bf16 field extraction, single dot: signed cast, prefix
+                # planes p_q = floor(b/4^q), fields f_q = p_q - 4 p_{q+1};
+                # the byte sign folds into f3 via one compare-select.
+                b16 = pk.astype(cdt)  # signed int8 -> bf16, exact
+                p1 = jnp.floor(b16 * 0.25)
+                p2 = jnp.floor(p1 * 0.25)
+                p3 = jnp.floor(p2 * 0.25)
+                f0 = b16 - 4.0 * p1
+                f1 = p1 - 4.0 * p2
+                f2 = p2 - 4.0 * p3
+                f3 = jnp.where(b16 < 0, p3 + 4.0, p3)
+                u = jnp.concatenate([f0, f1, f2, f3], axis=0)
+                d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
+            elif variant == "bf16_floors_2dot":
+                # Prefix planes only + stacked 2-dot telescoping + appended
+                # sign-correction rows (depth 160).
+                B_ = xs.shape[0]
+                b16 = pk.astype(cdt)
+                p1 = jnp.floor(b16 * 0.25)
+                p2 = jnp.floor(p1 * 0.25)
+                p3 = jnp.floor(p2 * 0.25)
+                h4 = jnp.where(b16 < 0, jnp.asarray(4.0, cdt), jnp.asarray(0.0, cdt))
+                u = jnp.concatenate([b16, p1, p2, p3, h4], axis=0)  # (160,tn)
+                xf = jnp.concatenate([xb, xb[:, BS - BS4 :]], axis=1)  # (B,160)
+                xb2 = jnp.concatenate(
+                    [jnp.zeros((B_, BS4), cdt), xb[:, : BS - BS4]], axis=1
+                )
+                xneg = jnp.concatenate(
+                    [-4.0 * xb2, jnp.zeros((B_, BS4), cdt)], axis=1
+                )  # (B,160)
+                xs2 = jnp.concatenate([xf, xneg], axis=0)  # (2B,160)
+                d2_ = jnp.dot(xs2, u, preferred_element_type=jnp.float32)
+                d = d2_[:B_] + d2_[B_:]
+            elif variant == "nibble_a8":
+                # Unsigned nibble planes (fit int8, no sign correction):
+                # planes {lo4, lo4>>2, hi4, hi4>>2}; f pairs telescope into a
+                # stacked int8 2-dot. Only 4 shift/mask passes, no masks on
+                # the 2-bit level, no h plane.
+                B_ = xs.shape[0]
+                pku = pltpu.bitcast(pk, jnp.uint8).astype(jnp.int32)
+                lo4 = pku & 15
+                hi4 = pku >> 4
+                l1 = lo4 >> 2
+                h1 = hi4 >> 2
+                u8 = jnp.concatenate(
+                    [
+                        lo4.astype(jnp.int8),
+                        l1.astype(jnp.int8),
+                        hi4.astype(jnp.int8),
+                        h1.astype(jnp.int8),
+                    ],
+                    axis=0,
+                )
+                xq = (xb * 16.0).astype(jnp.int8)
+                z = jnp.zeros((B_, BS4), jnp.int8)
+                # quarters (x0,x1,x2,x3) pair rows [lo4,l1,hi4,h1]; the -4
+                # term pairs x0->l1 and x2->h1 only.
+                x0 = xq[:, :BS4]
+                x2 = xq[:, 2 * BS4 : 3 * BS4]
+                xneg = jnp.concatenate([z, x0, z, x2], axis=1)
+                d1 = jnp.dot(xq, u8, preferred_element_type=jnp.int32)
+                d2_ = jnp.dot(xneg, u8, preferred_element_type=jnp.int32)
+                d = (d1 - 4 * d2_).astype(jnp.float32) * (1.0 / 16.0)
+            elif variant == "nomask_a8":
+                # Mask-free + int8 MXU: SIGNED shifted planes fit int8
+                # (s_q in [-128,127]); the sign bit adds a constant
+                # -256/4^q per plane which telescopes to a single
+                # quarter-size correction dot against h = [byte < 0]:
+                #   exact = d1 - 4*d2 + 4*dot(x_3, h)
+                B_ = xs.shape[0]
+                pk32 = pk.astype(jnp.int32)  # sign-extend
+                planes = [
+                    (pk32 >> (2 * q)).astype(jnp.int8) for q in range(4)
+                ]
+                u8 = jnp.concatenate(planes, axis=0)  # (BS, tn) int8
+                h8 = (pk < 0).astype(jnp.int8)  # (BS4, tn)
+                xq = (xb * 16.0).astype(jnp.int8)
+                xq2 = jnp.concatenate(
+                    [jnp.zeros((B_, BS4), jnp.int8), xq[:, : BS - BS4]],
+                    axis=1,
+                )
+                d1 = jnp.dot(xq, u8, preferred_element_type=jnp.int32)
+                d2 = jnp.dot(xq2, u8, preferred_element_type=jnp.int32)
+                dh = jnp.dot(
+                    xq[:, BS - BS4 :], h8, preferred_element_type=jnp.int32
+                )
+                d = (d1 - 4 * d2 + 4 * dh).astype(jnp.float32) * (1.0 / 16.0)
+            elif variant == "i16_planes":
+                # Shifts/masks on 16-bit lanes (2 elements per 32-bit lane).
+                pk16 = pltpu.bitcast(pk, jnp.uint8).astype(jnp.int16)
+                planes = [((pk16 >> (2 * q)) & 3) for q in range(4)]
+                u = jnp.concatenate(planes, axis=0).astype(cdt)
+                d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
+            elif variant == "ablate_shift":
+                # WRONG MATH: no shifts/masks — bound their cost.
+                pk32 = pk.astype(jnp.int32)
+                u = jnp.concatenate([pk32] * 4, axis=0).astype(cdt)
+                d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
+            elif variant == "ablate_mask":
+                # WRONG MATH: shifts but no masks — bound mask cost.
+                pk32 = pk.astype(jnp.int32)
+                planes = [(pk32 >> (2 * q)) for q in range(4)]
+                u = jnp.concatenate(planes, axis=0).astype(cdt)
+                d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
             else:
                 raise ValueError(variant)
             acc += d * alpha_ref[p : p + 1, :].astype(jnp.float32)
@@ -117,8 +291,10 @@ def make_kernel(variant: str, bps: int):
 
 @functools.partial(jax.jit, static_argnames=("variant", "tn", "bps"))
 def run_variant(x, packed, alpha, mu, *, variant, tn=4096, bps=16):
+    rpb = 8 if variant.startswith("i32") else BS4
+    codes_per = BS // rpb
     K4, n = packed.shape
-    K = K4 * 4
+    K = K4 * codes_per
     nb = K // BS
     B = x.shape[0]
     grid = (1, n // tn, nb // bps)
@@ -127,7 +303,7 @@ def run_variant(x, packed, alpha, mu, *, variant, tn=4096, bps=16):
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, bps * BS), lambda b, i, j: (b, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bps * BS4, tn), lambda b, i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bps * rpb, tn), lambda b, i, j: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((bps, tn), lambda b, i, j: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((bps, tn), lambda b, i, j: (j, i), memory_space=pltpu.VMEM),
         ],
@@ -168,35 +344,121 @@ def time_chain(call, x0, n1=64, n2=320, reps=7):
     return (min(t2s) - min(t1s)) / (n2 - n1)
 
 
+def time_chain_interleaved(calls, x0, n1=64, n2=320, reps=9):
+    """Measure many variants with rounds interleaved across variants, so
+    machine-state drift (tunnel warmup, clock scaling) hits all variants
+    equally. Returns {name: seconds_per_call} using per-variant min slopes."""
+
+    def chained(call, n):
+        @jax.jit
+        def f(x):
+            def body(c, _):
+                o = call(c)
+                c2 = jax.lax.dynamic_slice(o, (0, 0), c.shape).astype(c.dtype)
+                return c2, ()
+
+            c, _ = jax.lax.scan(body, x, None, length=n)
+            return c
+
+        return f
+
+    fns = {}
+    for name, call in calls.items():
+        try:
+            f1, f2 = chained(call, n1), chained(call, n2)
+            fetch(f1(x0))
+            fetch(f2(x0))
+            fns[name] = (f1, f2)
+        except Exception as e:
+            print(f"{name}: FAIL {type(e).__name__}: {str(e)[:200]}", flush=True)
+    t1s = {name: [] for name in fns}
+    t2s = {name: [] for name in fns}
+    for _ in range(reps):
+        for name, (f1, f2) in fns.items():
+            t0 = time.time()
+            fetch(f1(x0))
+            t1s[name].append(time.time() - t0)
+            t0 = time.time()
+            fetch(f2(x0))
+            t2s[name].append(time.time() - t0)
+    return {
+        name: (min(t2s[name]) - min(t1s[name])) / (n2 - n1) for name in fns
+    }
+
+
+def pack8(U):
+    """Baseline plane-interleaved int8 layout: byte[p*32+r], field q = code
+    row p*128 + q*32 + r."""
+    K, n = U.shape
+    Ub = U.reshape(K // BS, 4, BS4, n)  # (p, q, r, n)
+    b = (
+        Ub[:, 0] | (Ub[:, 1] << 2) | (Ub[:, 2] << 4) | (Ub[:, 3] << 6)
+    )  # (p, r, n)
+    return b.reshape(K // 4, n).astype(np.uint8).view(np.int8)
+
+
+def pack32(U):
+    """int32-word layout: word[p*8+s], field q (bits 2q) = code row
+    p*128 + q*8 + s."""
+    K, n = U.shape
+    Uw = U.reshape(K // BS, 16, 8, n).astype(np.uint32)  # (p, q, s, n)
+    w = np.zeros((K // BS, 8, n), np.uint32)
+    for q in range(16):
+        w |= Uw[:, q] << (2 * q)
+    return w.reshape(K // 16, n).view(np.int32)
+
+
 def main():
     rng = np.random.default_rng(0)
     K, n = 4096, 12288
-    packed = jnp.asarray(rng.integers(-128, 128, (K // 4, n)), jnp.int8)
+    U = rng.integers(0, 3, (K, n))
+    packed = jnp.asarray(pack8(U))
+    packed32 = jnp.asarray(pack32(U))
     nb = K // BS
     alpha = jnp.asarray(rng.uniform(0.01, 0.02, (nb, n)), jnp.bfloat16)
     mu = jnp.asarray(rng.normal(0, 0.001, (nb, n)), jnp.bfloat16)
     x0 = jnp.asarray(rng.standard_normal((16, K)), jnp.bfloat16)
     print("backend:", jax.default_backend(), flush=True)
 
-    # correctness cross-check for the exact variants
+    exact = {
+        "nomask_2dot": packed,
+        "bf16_floors": packed,
+        "bf16_floors_2dot": packed,
+    }
     ref = run_variant(x0, packed, alpha, mu, variant="baseline")
-    for v in ["quarter_dots", "uint_widen", "tree4"]:
+    for v, pk in exact.items():
         try:
-            got = run_variant(x0, packed, alpha, mu, variant=v)
+            got = run_variant(x0, pk, alpha, mu, variant=v)
             err = float(jnp.max(jnp.abs(got - ref)))
             print(f"{v}: max abs err vs baseline = {err:.3e}", flush=True)
         except Exception as e:
-            print(f"{v}: FAIL {type(e).__name__}: {e}", flush=True)
+            print(f"{v}: FAIL {type(e).__name__}: {str(e)[:300]}", flush=True)
+    # nomask_a8 must match int8_dot bitwise (same x quantization).
+    try:
+        ref8 = run_variant(x0, packed, alpha, mu, variant="int8_dot")
+        got8 = run_variant(x0, packed, alpha, mu, variant="nibble_a8")
+        err8 = float(jnp.max(jnp.abs(got8 - ref8)))
+        print(f"nibble_a8: max abs err vs int8_dot = {err8:.3e}", flush=True)
+    except Exception as e:
+        print(f"nibble_a8: FAIL {type(e).__name__}: {str(e)[:300]}", flush=True)
 
-    for v in ["baseline", "tree4", "int8_dot", "no_unpack"]:
-        try:
-            t = time_chain(
-                lambda c: run_variant(c, packed, alpha, mu, variant=v), x0
-            )
-            gbs = (K // 4) * n / t / 1e9
-            print(f"{v:14s}: {t*1e6:7.1f} us  packed {gbs:6.1f} GB/s", flush=True)
-        except Exception as e:
-            print(f"{v}: FAIL {type(e).__name__}: {e}", flush=True)
+    timed = [
+        ("baseline", packed),
+        ("nomask_2dot", packed),
+        ("bf16_floors", packed),
+        ("bf16_floors_2dot", packed),
+        ("int8_dot", packed),
+        ("nibble_a8", packed),
+        ("no_unpack", packed),
+    ]
+    calls = {
+        v: (lambda c, pk=pk, v=v: run_variant(c, pk, alpha, mu, variant=v))
+        for v, pk in timed
+    }
+    times = time_chain_interleaved(calls, x0)
+    for v, t in times.items():
+        gbs = (K // 4) * n / t / 1e9
+        print(f"{v:14s}: {t*1e6:7.1f} us  packed {gbs:6.1f} GB/s", flush=True)
 
 
 if __name__ == "__main__":
