@@ -98,12 +98,17 @@ def layer_norm(
     return y.astype(dt) * weight.astype(dt) + bias.astype(dt)
 
 
-def rope_tables(head_dim: int, max_len: int, theta: float = 10000.0):
-    """Precompute RoPE cos/sin tables: (max_len, head_dim // 2) each, f32."""
+def rope_tables(
+    head_dim: int, max_len: int, theta: float = 10000.0, scale: float = 1.0
+):
+    """Precompute RoPE cos/sin tables: (max_len, head_dim // 2) each, f32.
+
+    ``scale`` > 1 is HF "linear" rope scaling (positions divided by the
+    factor — gemma3's global layers use factor 8)."""
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
     )
-    t = jnp.arange(max_len, dtype=jnp.float32)
+    t = jnp.arange(max_len, dtype=jnp.float32) / scale
     freqs = jnp.outer(t, inv_freq)  # (max_len, hd/2)
     return jnp.cos(freqs), jnp.sin(freqs)
 
@@ -136,12 +141,18 @@ def attention(
     v: jax.Array,  # (B, Lkv, Hkv, hd)
     mask: Optional[jax.Array] = None,  # additive bias, see below
     kv_valid: Optional[jax.Array] = None,  # (B, Lkv) bool for cache slots
+    scale: Optional[float] = None,  # None -> 1/sqrt(hd)
+    softcap: float = 0.0,  # gemma2 attention logit soft-capping
 ) -> jax.Array:
     """Grouped-query scaled dot-product attention; returns (B, Lq, H, hd).
 
     ``mask`` is an additive bias of shape (Lq, Lkv) — shared causal mask —
     or (H, Lq, Lkv) — per-head bias (ALiBi) — or (B, H, Lq, Lkv) — per-row
     per-head (continuous batching with ALiBi).
+
+    ``scale`` overrides the 1/sqrt(hd) query scaling (gemma2/3's
+    query_pre_attn_scalar); ``softcap`` > 0 applies
+    ``softcap * tanh(scores / softcap)`` before masking (gemma2).
 
     f32 softmax accumulation; GQA expands kv heads by repetition (an einsum
     reshape, so XLA keeps it as one batched matmul on the MXU).
@@ -151,9 +162,12 @@ def attention(
     rep = H // Hkv
     qg = q.reshape(B, Lq, Hkv, rep, hd)
 
+    s = jnp.float32(scale) if scale is not None else 1.0 / jnp.sqrt(jnp.float32(hd))
     scores = jnp.einsum(
         "blhrd,bmhd->bhrlm", qg, k, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(jnp.float32(hd))
+    ) * s
+    if softcap:
+        scores = jnp.float32(softcap) * jnp.tanh(scores / jnp.float32(softcap))
     if mask is not None:
         Lkv = k.shape[1]
         if mask.ndim == 2:

@@ -46,6 +46,7 @@ from .common import (
 __all__ = [
     "ModelConfig",
     "build_mask",
+    "pos_tables",
     "layer_view",
     "init_params",
     "forward",
@@ -84,16 +85,55 @@ class ModelConfig:
     embed_scale: float = 1.0  # gemma multiplies embeddings by sqrt(dim)
     norm_plus_one: bool = False  # gemma rmsnorm uses (1 + weight)
     embed_norm: bool = False  # bloom layernorms the embeddings
+    # --- gemma2 / gemma3 / qwen3 extensions -----------------------------
+    qk_norm: bool = False  # per-head RMSNorm on q/k before RoPE (qwen3, gemma3)
+    sandwich_norm: bool = False  # gemma2/3 post-attn / post-mlp norms
+    sliding_window: int = 0  # 0 = all-global attention
+    # per-layer attention kind when sliding_window > 0: True = full/global,
+    # False = sliding. Hashable tuple (cfg is a static jit argument).
+    layer_globals: Optional[Tuple[bool, ...]] = None
+    rope_local_theta: Optional[float] = None  # RoPE base for sliding layers
+    rope_scale: float = 1.0  # linear rope scaling on the global tables
+    attn_scale: Optional[float] = None  # query scaling override
+    attn_softcap: float = 0.0  # gemma2 attention logit softcap
+    final_softcap: float = 0.0  # gemma2 final logit softcap
 
     @property
     def kv_heads(self) -> int:
         return self.n_kv_heads or self.n_heads
 
     @property
+    def has_sliding(self) -> bool:
+        return self.sliding_window > 0 and (
+            self.layer_globals is None or not all(self.layer_globals)
+        )
+
+    def globals_list(self) -> Tuple[bool, ...]:
+        """Per-layer is-global-attention flags (all True when no sliding)."""
+        if not self.has_sliding:
+            return (True,) * self.n_layers
+        lg = self.layer_globals or (False,) * self.n_layers
+        if len(lg) != self.n_layers:
+            raise ValueError(
+                f"layer_globals has {len(lg)} entries for {self.n_layers} layers"
+            )
+        return tuple(bool(g) for g in lg)
+
+    @property
     def hd(self) -> int:
         return self.head_dim or self.dim // self.n_heads
 
     def with_(self, **kw) -> "ModelConfig":
+        # Keep the per-layer attention-kind pattern congruent when a config
+        # is shrunk/grown (tests cut models to 1-2 layers): cycle it.
+        if (
+            "n_layers" in kw
+            and "layer_globals" not in kw
+            and self.layer_globals is not None
+        ):
+            n = kw["n_layers"]
+            lg = self.layer_globals
+            kw["layer_globals"] = tuple(lg[i % len(lg)] for i in range(n))
         return dataclasses.replace(self, **kw)
 
 
@@ -134,6 +174,31 @@ def _norm(cfg: ModelConfig, x, w, b):
     return layer_norm(x, w, b, cfg.norm_eps)
 
 
+def _head_norm(cfg: ModelConfig, x, w):
+    """qk-norm: RMSNorm over head_dim of (B, L, H, hd) q/k (qwen3/gemma3)."""
+    if cfg.norm_plus_one:
+        w = 1.0 + w.astype(jnp.float32)
+    return rms_norm(x, w, cfg.norm_eps)
+
+
+def pos_tables(cfg: ModelConfig, max_len: int):
+    """RoPE tables for all layer kinds: (cos, sin, cos_loc, sin_loc).
+
+    The local pair is None unless the config uses a distinct RoPE base on
+    sliding layers (gemma3: theta 1e6 + linear scaling globally, 1e4
+    locally). All call sites (eval forward, generate, engine, calibration)
+    share this so per-layer table selection stays consistent.
+    """
+    if cfg.pos != "rope":
+        z = jnp.zeros((max_len, 1), jnp.float32)
+        return z, z, None, None
+    cos, sin = rope_tables(cfg.hd, max_len, cfg.rope_theta, cfg.rope_scale)
+    if cfg.rope_local_theta is None or not cfg.has_sliding:
+        return cos, sin, None, None
+    cos_l, sin_l = rope_tables(cfg.hd, max_len, cfg.rope_local_theta)
+    return cos, sin, cos_l, sin_l
+
+
 # ------------------------------------------------------------ params ----
 def _init_linear(key, n_out, n_in, bias, dtype, scale=None):
     scale = scale if scale is not None else 1.0 / math.sqrt(n_in)
@@ -167,6 +232,16 @@ def _init_layer(cfg: ModelConfig, key, dtype):
         if cfg.gated_mlp
         else None
     )
+    if cfg.qk_norm:
+        layer["q_norm_w"] = jnp.ones((hd,), dtype)
+        layer["k_norm_w"] = jnp.ones((hd,), dtype)
+    else:
+        layer["q_norm_w"] = layer["k_norm_w"] = None
+    if cfg.sandwich_norm:
+        layer["post_attn_w"] = jnp.ones((D,), dtype)
+        layer["post_mlp_w"] = jnp.ones((D,), dtype)
+    else:
+        layer["post_attn_w"] = layer["post_mlp_w"] = None
     return layer
 
 
@@ -272,6 +347,27 @@ def embed_tokens(
     return h
 
 
+def embed_tokens_per_row(
+    cfg: ModelConfig, params, tokens: jax.Array, positions: jax.Array
+) -> jax.Array:
+    """(B,) ids at per-row ``positions`` -> (B, 1, D) hidden.
+
+    The continuous-batching decode embed: same semantics as
+    :func:`embed_tokens` (embed scale, learned positions, embedding norm)
+    but each batch row sits at its own sequence position.
+    """
+    h = jnp.take(params["embed"], tokens[:, None], axis=0)  # (B, 1, D)
+    if cfg.embed_scale != 1.0:
+        h = h * jnp.asarray(cfg.embed_scale, h.dtype)
+    if cfg.pos == "learned":
+        h = h + jnp.take(
+            params["pos_embed"], positions + cfg.pos_offset, axis=0
+        )[:, None]
+    if cfg.embed_norm:
+        h = _norm(cfg, h, params["emb_ln_w"], params["emb_ln_b"])
+    return h
+
+
 class LayerIO(NamedTuple):
     """Per-layer auxiliary outputs."""
 
@@ -292,6 +388,8 @@ def layer_forward(
     return_taps: bool = False,
     impl: str = "auto",
     layer_idx: Optional[jax.Array] = None,  # enables stacked-weight kernels
+    cos_loc: Optional[jax.Array] = None,  # sliding-layer RoPE tables (gemma3)
+    sin_loc: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, LayerIO]:
     """One decoder layer. Returns (output hidden, LayerIO).
 
@@ -299,10 +397,50 @@ def layer_forward(
     at ``cache_pos`` and attention runs against the full cache
     (decode/prefill path); otherwise attention is over the local sequence
     (calibration/eval path).
+
+    Sliding-window configs (gemma2/3) select per layer between global and
+    local attention via ``layer_idx`` (required then): the window constraint
+    folds into the additive mask (shared-position paths) or into
+    ``kv_valid`` (per-row decode), and sliding layers use the ``*_loc``
+    RoPE tables when the config carries a local base (``pos_tables``).
     """
     B, L, D = x.shape
     H, Hkv, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
     taps: Dict[str, jax.Array] = {}
+
+    is_global = None
+    if cfg.has_sliding:
+        if layer_idx is None:
+            raise ValueError("sliding-window configs need layer_idx")
+        is_global = jnp.asarray(cfg.globals_list())[layer_idx]
+        if cos_loc is not None:
+            cos = jnp.where(is_global, cos, cos_loc)
+            sin = jnp.where(is_global, sin, sin_loc)
+        W = cfg.sliding_window
+        per_row = cache is not None and jnp.ndim(cache_pos) != 0
+        if per_row:
+            # Continuous-batching decode (L == 1): window -> kv_valid.
+            M = cache.k.shape[-3] if hasattr(cache, "k") else kv_valid.shape[-1]
+            kv_pos = jnp.arange(M)
+            win_ok = kv_pos[None, :] > (cache_pos[:, None] - W)  # (B, M)
+            base = (
+                kv_valid
+                if kv_valid is not None
+                else jnp.ones((B, M), dtype=bool)
+            )
+            kv_valid = jnp.where(is_global, base, base & win_ok)
+        else:
+            if mask is None or mask.ndim != 2:
+                raise ValueError(
+                    "sliding-window attention needs a shared (Lq, Lkv) mask"
+                )
+            q0 = 0 if (cache is None or cache_pos is None) else cache_pos
+            q_pos = q0 + jnp.arange(L)
+            kv_pos = jnp.arange(mask.shape[-1])
+            win = jnp.where(
+                kv_pos[None, :] > q_pos[:, None] - W, 0.0, -jnp.inf
+            ).astype(jnp.float32)
+            mask = mask + jnp.where(is_global, 0.0, win)
 
     h = _norm(cfg, x, lp["ln1_w"], lp["ln1_b"])
     if return_taps:
@@ -319,6 +457,9 @@ def layer_forward(
         q = apply_linear(lp["q"], h, impl, layer_idx).reshape(B, L, H, hd)
         k = apply_linear(lp["k"], h, impl, layer_idx).reshape(B, L, Hkv, hd)
         v = apply_linear(lp["v"], h, impl, layer_idx).reshape(B, L, Hkv, hd)
+    if cfg.qk_norm:
+        q = _head_norm(cfg, q, lp["q_norm_w"])
+        k = _head_norm(cfg, k, lp["k_norm_w"])
     if cfg.pos == "rope":
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -331,15 +472,23 @@ def layer_forward(
         else:
             new_kv = cache.write_rows(k, v, cache_pos)
         ck, cv = new_kv.read(q.dtype)
-        ctx = attention(q, ck, cv, mask, kv_valid)
+        ctx = attention(
+            q, ck, cv, mask, kv_valid,
+            scale=cfg.attn_scale, softcap=cfg.attn_softcap,
+        )
     else:
-        ctx = attention(q, k, v, mask)
+        ctx = attention(
+            q, k, v, mask, scale=cfg.attn_scale, softcap=cfg.attn_softcap
+        )
         new_kv = None
 
     ctx = ctx.reshape(B, L, H * hd)
     if return_taps:
         taps["o_in"] = ctx
-    x = x + apply_linear(lp["o"], ctx, impl, layer_idx)
+    ao = apply_linear(lp["o"], ctx, impl, layer_idx)
+    if cfg.sandwich_norm:
+        ao = _norm(cfg, ao, lp["post_attn_w"], None)
+    x = x + ao
 
     h = _norm(cfg, x, lp["ln2_w"], lp["ln2_b"])
     if return_taps:
@@ -356,7 +505,10 @@ def layer_forward(
         mid = _act(cfg, apply_linear(lp["up"], h, impl, layer_idx))
     if return_taps:
         taps["down_in"] = mid
-    x = x + apply_linear(lp["down"], mid, impl, layer_idx)
+    mo = apply_linear(lp["down"], mid, impl, layer_idx)
+    if cfg.sandwich_norm:
+        mo = _norm(cfg, mo, lp["post_mlp_w"], None)
+    x = x + mo
 
     return x, LayerIO(kv=new_kv, taps=taps if return_taps else None)
 
@@ -364,8 +516,15 @@ def layer_forward(
 def unembed(cfg: ModelConfig, params, h: jax.Array) -> jax.Array:
     h = _norm(cfg, h, params["lnf_w"], params["lnf_b"])
     if params["lm_head"] is not None:
-        return apply_linear(params["lm_head"], h)
-    return h @ params["embed"].T.astype(h.dtype)
+        logits = apply_linear(params["lm_head"], h)
+    else:
+        logits = h @ params["embed"].T.astype(h.dtype)
+    if cfg.final_softcap:
+        c = jnp.asarray(cfg.final_softcap, jnp.float32)
+        logits = (c * jnp.tanh(logits.astype(jnp.float32) / c)).astype(
+            logits.dtype
+        )
+    return logits
 
 
 def forward(
@@ -381,15 +540,13 @@ def forward(
     B, L = tokens.shape
     h = embed_tokens(cfg, params, tokens)
     mask = build_mask(cfg, L, L)
-    if cfg.pos == "rope":
-        cos, sin = rope_tables(cfg.hd, L, cfg.rope_theta)
-    else:
-        cos = sin = jnp.zeros((L, 1), jnp.float32)
+    cos, sin, cos_l, sin_l = pos_tables(cfg, L)
 
     def body(x, li):
         lp = layer_view(params["layers"], li)
         y, _ = layer_forward(
-            cfg, lp, x, cos, sin, mask, impl=impl, layer_idx=li
+            cfg, lp, x, cos, sin, mask, impl=impl, layer_idx=li,
+            cos_loc=cos_l, sin_loc=sin_l,
         )
         return y, None
 

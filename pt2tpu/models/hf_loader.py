@@ -61,12 +61,32 @@ def read_hf_tensors(model_dir: str) -> Dict[str, np.ndarray]:
     raise FileNotFoundError(f"no safetensors/bin checkpoints in {model_dir}")
 
 
+def _layer_globals_from_hf(hc, n_layers, mt):
+    """Per-layer is-global flags from an HF config.
+
+    Prefers the explicit ``layer_types`` list; falls back to the family
+    pattern (gemma3: every ``sliding_window_pattern``-th layer global;
+    gemma2: odd layers global)."""
+    lt = hc.get("layer_types")
+    if lt:
+        return tuple(t != "sliding_attention" for t in lt)
+    if mt.startswith("gemma3"):
+        p = hc.get("sliding_window_pattern", 6)
+        return tuple((i + 1) % p == 0 for i in range(n_layers))
+    return tuple(bool(i % 2) for i in range(n_layers))  # gemma2
+
+
 def config_from_hf(model_dir: str) -> ModelConfig:
     """Build a ModelConfig from a local HF config.json."""
     with open(os.path.join(model_dir, "config.json")) as f:
         hc = json.load(f)
     arch = (hc.get("architectures") or [""])[0].lower()
     mt = hc.get("model_type", get_model_type(model_dir))
+    if mt == "gemma3" and "text_config" in hc:
+        # gemma3 multimodal wrapper: quantize/serve the text LM only (the
+        # reference does the same via language_model.layers, model.py:143-151)
+        hc = {**hc["text_config"], "architectures": hc.get("architectures")}
+        mt = "gemma3_text"
     if "llama" in arch or mt in ("llama", "mistral", "qwen2", "qwen3"):
         return ModelConfig(
             family=mt,
@@ -85,6 +105,7 @@ def config_from_hf(model_dir: str) -> ModelConfig:
             act="silu",
             gated_mlp=True,
             qkv_bias=bool(hc.get("attention_bias", False) or mt == "qwen2"),
+            qk_norm=(mt == "qwen3"),
             tie_embeddings=bool(hc.get("tie_word_embeddings", False)),
         )
     if "opt" in arch or mt == "opt":
@@ -104,17 +125,12 @@ def config_from_hf(model_dir: str) -> ModelConfig:
             linear_bias=True,
             tie_embeddings=bool(hc.get("tie_word_embeddings", True)),
         )
-    if "gemma" in arch or mt in ("gemma", "gemma3_text", "gemma3"):
-        if "gemma2" in arch or mt == "gemma2":
-            raise ValueError(
-                "gemma2's extra pre/post-feedforward norms and logit softcap "
-                "are not modeled yet; gemma (v1) checkpoints are supported"
-            )
-        return ModelConfig(
-            family="gemma",
+    if "gemma" in arch or mt in ("gemma", "gemma2", "gemma3_text", "gemma3"):
+        n_layers = hc["num_hidden_layers"]
+        common = dict(
             vocab_size=hc["vocab_size"],
             dim=hc["hidden_size"],
-            n_layers=hc["num_hidden_layers"],
+            n_layers=n_layers,
             n_heads=hc["num_attention_heads"],
             n_kv_heads=hc.get("num_key_value_heads"),
             intermediate=hc["intermediate_size"],
@@ -130,6 +146,32 @@ def config_from_hf(model_dir: str) -> ModelConfig:
             embed_scale=float(hc["hidden_size"]) ** 0.5,
             norm_plus_one=True,
         )
+        qpas = hc.get("query_pre_attn_scalar")
+        if mt == "gemma2" or "gemma2" in arch:
+            return ModelConfig(
+                family="gemma2",
+                sandwich_norm=True,
+                sliding_window=hc.get("sliding_window", 4096),
+                layer_globals=_layer_globals_from_hf(hc, n_layers, "gemma2"),
+                attn_scale=None if qpas is None else qpas**-0.5,
+                attn_softcap=hc.get("attn_logit_softcapping") or 0.0,
+                final_softcap=hc.get("final_logit_softcapping") or 0.0,
+                **common,
+            )
+        if mt in ("gemma3_text", "gemma3") or "gemma3" in arch:
+            rs = hc.get("rope_scaling") or {}
+            return ModelConfig(
+                family="gemma3",
+                qk_norm=True,
+                sandwich_norm=True,
+                sliding_window=hc.get("sliding_window", 1024),
+                layer_globals=_layer_globals_from_hf(hc, n_layers, "gemma3"),
+                rope_local_theta=hc.get("rope_local_base_freq", 10000.0),
+                rope_scale=float(rs.get("factor", 1.0)),
+                attn_scale=None if qpas is None else qpas**-0.5,
+                **common,
+            )
+        return ModelConfig(family="gemma", **common)
     if "bloom" in arch or mt == "bloom":
         D = hc["hidden_size"]
         return ModelConfig(
@@ -229,9 +271,31 @@ def _llama_layers(cfg, t, dtype, prefix="model."):
         lay = {
             "ln1_w": jnp.asarray(t[p + "input_layernorm.weight"], dtype),
             "ln1_b": None,
-            "ln2_w": jnp.asarray(t[p + "post_attention_layernorm.weight"], dtype),
             "ln2_b": None,
         }
+        if cfg.sandwich_norm:
+            # gemma2/3: post_attention_layernorm normalizes the attention
+            # OUTPUT (pre-residual); the MLP pre-norm is a separate tensor.
+            lay["ln2_w"] = jnp.asarray(
+                t[p + "pre_feedforward_layernorm.weight"], dtype
+            )
+            lay["post_attn_w"] = jnp.asarray(
+                t[p + "post_attention_layernorm.weight"], dtype
+            )
+            lay["post_mlp_w"] = jnp.asarray(
+                t[p + "post_feedforward_layernorm.weight"], dtype
+            )
+        else:
+            lay["ln2_w"] = jnp.asarray(
+                t[p + "post_attention_layernorm.weight"], dtype
+            )
+        if cfg.qk_norm:
+            lay["q_norm_w"] = jnp.asarray(
+                t[p + "self_attn.q_norm.weight"], dtype
+            )
+            lay["k_norm_w"] = jnp.asarray(
+                t[p + "self_attn.k_norm.weight"], dtype
+            )
         for ours, theirs in (
             ("q", "self_attn.q_proj"),
             ("k", "self_attn.k_proj"),

@@ -20,6 +20,8 @@ def get_model_type(model_name: str) -> str:
     s = model_name.lower()
     if "gemma-3" in s or "gemma3" in s:
         return "gemma3"
+    if "gemma-2" in s or "gemma2" in s:
+        return "gemma2"
     if "gemma" in s:
         return "gemma"
     if "llama-3" in s or "llama3" in s:
@@ -117,6 +119,57 @@ def _gemma(dim, n_layers, n_heads, inter, head_dim, vocab=256000, **kw):
     )
 
 
+def _qwen3(dim, n_layers, n_heads, inter, n_kv, head_dim, vocab=151936, **kw):
+    kw.setdefault("rope_theta", 1000000.0)
+    return ModelConfig(
+        family="qwen3",
+        vocab_size=vocab,
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=n_kv,
+        head_dim=head_dim,
+        intermediate=inter,
+        norm="rmsnorm",
+        norm_eps=1e-6,
+        pos="rope",
+        act="silu",
+        gated_mlp=True,
+        qk_norm=True,
+        **kw,
+    )
+
+
+def _gemma3(dim, n_layers, n_heads, inter, head_dim, n_kv, vocab=262144,
+            sliding_window=1024, pattern=6, **kw):
+    kw.setdefault("rope_theta", 1000000.0)
+    return ModelConfig(
+        family="gemma3",
+        vocab_size=vocab,
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=n_kv,
+        head_dim=head_dim,
+        intermediate=inter,
+        norm="rmsnorm",
+        norm_eps=1e-6,
+        norm_plus_one=True,
+        pos="rope",
+        act="gelu",
+        gated_mlp=True,
+        embed_scale=float(dim) ** 0.5,
+        tie_embeddings=True,
+        qk_norm=True,
+        sandwich_norm=True,
+        sliding_window=sliding_window,
+        layer_globals=tuple((i + 1) % pattern == 0 for i in range(n_layers)),
+        rope_local_theta=10000.0,
+        attn_scale=float(head_dim) ** -0.5,
+        **kw,
+    )
+
+
 def _bloom(dim, n_layers, n_heads, vocab=250880, **kw):
     return ModelConfig(
         family="bloom",
@@ -152,6 +205,10 @@ CONFIGS: Dict[str, ModelConfig] = {
         rope_theta=1000000.0,
     ),
     "gemma-2b": _gemma(2048, 18, 8, 16384, head_dim=256, n_kv=1),
+    "qwen3-8b": _qwen3(4096, 36, 32, 12288, n_kv=8, head_dim=128),
+    "gemma3-4b": _gemma3(
+        2560, 34, 8, 10240, head_dim=256, n_kv=4, rope_scale=8.0
+    ),
     "bloom-560m": _bloom(1024, 24, 16),
     # Tiny configs for tests / CI (structurally identical to the big ones)
     "tiny-llama": _llama("llama2", 64, 2, 4, 128, vocab=256, max_seq_len=128),
@@ -164,6 +221,13 @@ CONFIGS: Dict[str, ModelConfig] = {
     ),
     "tiny-opt": _opt(64, 2, 4, 128, vocab=256, max_seq_len=128),
     "tiny-gpt2": _gpt2(64, 2, 4, vocab=256, max_seq_len=128),
+    "tiny-qwen3": _qwen3(
+        64, 2, 4, 128, n_kv=2, head_dim=16, vocab=256, max_seq_len=128
+    ),
+    "tiny-gemma3": _gemma3(
+        64, 4, 4, 128, head_dim=16, n_kv=2, vocab=256, max_seq_len=128,
+        sliding_window=16, pattern=2,
+    ),
 }
 
 

@@ -271,6 +271,12 @@ def prepare_tp_layer(cfg: dec.ModelConfig, lp: Dict[str, Any], ways: int):
     """
     if cfg.n_heads % ways or cfg.kv_heads % ways or cfg.intermediate % ways:
         raise ValueError(f"ways={ways} must divide heads and intermediate")
+    if cfg.has_sliding or cfg.qk_norm or cfg.sandwich_norm:
+        raise NotImplementedError(
+            "manual TP supports the llama-family layer; sliding-window / "
+            "qk-norm / sandwich-norm configs (gemma2/3, qwen3) run on the "
+            "GSPMD path (parallel/sharding.py)"
+        )
     for name in ("o", "down"):
         nbp = lp[name].alpha.shape[-2]
         if nbp % ways:
@@ -559,11 +565,7 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
     def _decode_body(params_, tokens, cache, positions, active):
         B = tokens.shape[0]
         M = cache.max_len
-        x = jnp.take(params_["embed"], tokens[:, None], axis=0)  # (B,1,D)
-        if cfg.pos == "learned":
-            x = x + jnp.take(
-                params_["pos_embed"], positions + cfg.pos_offset, axis=0
-            )[:, None]
+        x = dec.embed_tokens_per_row(cfg, params_, tokens, positions)
         cos_all, sin_all = _rope(M)
         cos = jnp.take(cos_all, positions, axis=0)[:, None]
         sin = jnp.take(sin_all, positions, axis=0)[:, None]

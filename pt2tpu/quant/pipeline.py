@@ -170,16 +170,14 @@ def quantize_model(
     emb = jax.jit(lambda toks: dec.embed_tokens(cfg, params, toks))
     hidden = [emb(calib_tokens[i : i + bs]) for i in range(0, N, bs)]
 
-    if cfg.pos == "rope":
-        cos, sin = dec.rope_tables(cfg.hd, L, cfg.rope_theta)
-    else:
-        cos = sin = jnp.zeros((L, 1), jnp.float32)
+    cos, sin, cos_l, sin_l = dec.pos_tables(cfg, L)
     mask = dec.build_mask(cfg, L, L)
 
     @functools.partial(jax.jit, static_argnames=("taps",))
-    def run_layer(lp, x, taps: bool):
+    def run_layer(lp, x, li, taps: bool):
         y, io = dec.layer_forward(
-            cfg, lp, x, cos, sin, mask, return_taps=taps, impl="xla"
+            cfg, lp, x, cos, sin, mask, return_taps=taps, impl="xla",
+            layer_idx=li, cos_loc=cos_l, sin_loc=sin_l,
         )
         return y, io.taps
 
@@ -213,8 +211,10 @@ def quantize_model(
         )
     # Resume: replay the already-quantized prefix so layer `start_layer`
     # calibrates against the same inputs it would have seen in the full run.
-    for pre_lp in new_layers:
-        hidden = [run_layer(pre_lp, h, False)[0] for h in hidden]
+    for pre_li, pre_lp in enumerate(new_layers):
+        hidden = [
+            run_layer(pre_lp, h, jnp.int32(pre_li), False)[0] for h in hidden
+        ]
 
     report: Dict[str, Any] = {"layers": []}
 
@@ -224,7 +224,7 @@ def quantize_model(
         needed_taps = {tap for _, _, tap in groups}
         accs = {t: HessianAccumulator(tap_dims[t]) for t in needed_taps}
         for h in hidden:
-            _, taps = run_layer(lp, h, True)
+            _, taps = run_layer(lp, h, jnp.int32(li), True)
             for t in needed_taps:
                 accs[t].update(taps[t])
 
@@ -266,7 +266,7 @@ def quantize_model(
         report["layers"].append(layer_report)
 
         # Propagate quantized outputs as the next layer's inputs.
-        hidden = [run_layer(new_lp, h, False)[0] for h in hidden]
+        hidden = [run_layer(new_lp, h, jnp.int32(li), False)[0] for h in hidden]
         new_layers.append(new_lp)
         if journal_dir:
             from ..utils.checkpoint import save_layer

@@ -59,17 +59,18 @@ def _decode_step(cfg, params, tokens, cache, positions, active, impl="auto"):
     """
     B = tokens.shape[0]
     M = cache.max_len
-    x = jnp.take(params["embed"], tokens[:, None], axis=0)  # (B, 1, D)
-    if cfg.pos == "learned":
-        x = x + jnp.take(
-            params["pos_embed"], positions + cfg.pos_offset, axis=0
-        )[:, None]
+    x = dec.embed_tokens_per_row(cfg, params, tokens, positions)  # (B, 1, D)
     if cfg.pos == "rope":
-        cos_all, sin_all = dec.rope_tables(cfg.hd, M, cfg.rope_theta)
+        cos_all, sin_all, cosl_all, sinl_all = dec.pos_tables(cfg, M)
         cos = jnp.take(cos_all, positions, axis=0)[:, None]  # (B, 1, hd/2)
         sin = jnp.take(sin_all, positions, axis=0)[:, None]
+        cos_l = sin_l = None
+        if cosl_all is not None:
+            cos_l = jnp.take(cosl_all, positions, axis=0)[:, None]
+            sin_l = jnp.take(sinl_all, positions, axis=0)[:, None]
     else:
         cos = sin = jnp.zeros((B, 1, 1), jnp.float32)
+        cos_l = sin_l = None
 
     kv_valid = jnp.arange(M)[None, :] <= positions[:, None]  # (B, M)
     mask = None
@@ -92,7 +93,7 @@ def _decode_step(cfg, params, tokens, cache, positions, active, impl="auto"):
         y, io = dec.layer_forward(
             cfg, lp, h, cos, sin, mask,
             cache=kvl, cache_pos=positions, kv_valid=kv_valid, impl=impl,
-            layer_idx=li,
+            layer_idx=li, cos_loc=cos_l, sin_loc=sin_l,
         )
         return y, io.kv
 
@@ -122,11 +123,10 @@ def _prefill_into_slot(cfg, params, prompt, true_len, cache, slot: int, impl="au
     tmp = init_cache(cfg, 1, M, quantized=cache.quantized)
 
     h = dec.embed_tokens(cfg, params, prompt)
-    if cfg.pos == "rope":
-        cos_all, sin_all = dec.rope_tables(cfg.hd, M, cfg.rope_theta)
-        cos, sin = cos_all[:Lb], sin_all[:Lb]
-    else:
-        cos = sin = jnp.zeros((Lb, 1), jnp.float32)
+    cos_all, sin_all, cosl_all, sinl_all = dec.pos_tables(cfg, M)
+    cos, sin = cos_all[:Lb], sin_all[:Lb]
+    cos_l = None if cosl_all is None else cosl_all[:Lb]
+    sin_l = None if sinl_all is None else sinl_all[:Lb]
     mask = dec.build_mask(cfg, Lb, M)
     views = KVLayerView(k=tmp.k, v=tmp.v, k_scale=tmp.k_scale, v_scale=tmp.v_scale)
 
@@ -135,7 +135,7 @@ def _prefill_into_slot(cfg, params, prompt, true_len, cache, slot: int, impl="au
         lp = dec.layer_view(params["layers"], li)
         y, io = dec.layer_forward(
             cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=0, impl=impl,
-            layer_idx=li,
+            layer_idx=li, cos_loc=cos_l, sin_loc=sin_l,
         )
         return y, io.kv
 

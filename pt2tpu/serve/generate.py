@@ -38,12 +38,13 @@ def forward_cached(
     M = cache.max_len
     h = dec.embed_tokens(cfg, params, tokens, pos0=pos0)
 
-    if cfg.pos == "rope":
-        cos_all, sin_all = dec.rope_tables(cfg.hd, M, cfg.rope_theta)
-        cos = jax.lax.dynamic_slice_in_dim(cos_all, pos0, L)
-        sin = jax.lax.dynamic_slice_in_dim(sin_all, pos0, L)
-    else:
-        cos = sin = jnp.zeros((L, 1), jnp.float32)
+    cos_all, sin_all, cosl_all, sinl_all = dec.pos_tables(cfg, M)
+    cos = jax.lax.dynamic_slice_in_dim(cos_all, pos0, L)
+    sin = jax.lax.dynamic_slice_in_dim(sin_all, pos0, L)
+    cos_l = sin_l = None
+    if cosl_all is not None:
+        cos_l = jax.lax.dynamic_slice_in_dim(cosl_all, pos0, L)
+        sin_l = jax.lax.dynamic_slice_in_dim(sinl_all, pos0, L)
     mask = dec.build_mask(cfg, L, M, q_offset=pos0)
 
     views = KVLayerView(
@@ -55,7 +56,7 @@ def forward_cached(
         lp = dec.layer_view(params["layers"], li)
         y, io = dec.layer_forward(
             cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=pos0, impl=impl,
-            layer_idx=li,
+            layer_idx=li, cos_loc=cos_l, sin_loc=sin_l,
         )
         return y, io.kv
 

@@ -145,12 +145,17 @@ def random_ternary_params(
     }
 
     def base_layer():
-        return {
+        lp = {
             "ln1_w": jnp.ones((D,), dtype),
             "ln1_b": ln_b,
             "ln2_w": jnp.ones((D,), dtype),
             "ln2_b": ln_b,
         }
+        lp["q_norm_w"] = jnp.ones((hd,), dtype) if cfg.qk_norm else None
+        lp["k_norm_w"] = jnp.ones((hd,), dtype) if cfg.qk_norm else None
+        lp["post_attn_w"] = jnp.ones((D,), dtype) if cfg.sandwich_norm else None
+        lp["post_mlp_w"] = jnp.ones((D,), dtype) if cfg.sandwich_norm else None
+        return lp
     qbias = cfg.linear_bias or cfg.qkv_bias
     if fused:
         shapes = {

@@ -12,7 +12,7 @@ from pt2tpu.serve import greedy_generate
 from pt2tpu.serve.engine import ServeEngine
 
 
-@pytest.fixture(params=["tiny-llama", "tiny-opt"])
+@pytest.fixture(params=["tiny-llama", "tiny-opt", "tiny-gemma3"])
 def model(request):
     cfg = get_config(request.param)
     params = dec.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)

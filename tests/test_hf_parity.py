@@ -85,3 +85,40 @@ def test_gemma_parity(tmp_path):
         head_dim=8, max_position_embeddings=64,
     )
     _compare(tmp_path, transformers.GemmaForCausalLM(c))
+
+
+def test_qwen3_parity(tmp_path):
+    # qwen3: per-head q/k RMSNorm before RoPE, explicit head_dim
+    c = transformers.Qwen3Config(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    _compare(tmp_path, transformers.Qwen3ForCausalLM(c))
+
+
+def test_gemma2_parity(tmp_path):
+    # gemma2: sandwich norms, alternating sliding/global attention,
+    # attention + final logit softcaps, query_pre_attn_scalar
+    c = transformers.Gemma2Config(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64, sliding_window=4,
+        query_pre_attn_scalar=8, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0,
+    )
+    _compare(tmp_path, transformers.Gemma2ForCausalLM(c))
+
+
+def test_gemma3_parity(tmp_path):
+    # gemma3: qk-norm + sandwich norms + 5:1 sliding/global pattern with a
+    # distinct local RoPE base and linear scaling on the global tables
+    c = transformers.Gemma3TextConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64, sliding_window=4,
+        sliding_window_pattern=2, query_pre_attn_scalar=8,
+        rope_theta=1000000.0, rope_local_base_freq=10000.0,
+        rope_scaling={"rope_type": "linear", "factor": 8.0},
+    )
+    _compare(tmp_path, transformers.Gemma3ForCausalLM(c))

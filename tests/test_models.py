@@ -10,7 +10,7 @@ from pt2tpu.models import get_config
 from pt2tpu.models.registry import get_model_type
 
 
-@pytest.fixture(params=["tiny-llama", "tiny-llama-gqa", "tiny-opt", "tiny-gpt2", "tiny-gemma", "tiny-bloom"])
+@pytest.fixture(params=["tiny-llama", "tiny-llama-gqa", "tiny-opt", "tiny-gpt2", "tiny-gemma", "tiny-bloom", "tiny-qwen3", "tiny-gemma3"])
 def model(request):
     cfg = get_config(request.param)
     params = dec.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
@@ -49,13 +49,13 @@ def test_scan_matches_per_layer_loop(model):
     h = dec.embed_tokens(cfg, params, toks)
     L = toks.shape[1]
     mask = dec.build_mask(cfg, L, L)
-    if cfg.pos == "rope":
-        cos, sin = dec.rope_tables(cfg.hd, L, cfg.rope_theta)
-    else:
-        cos = sin = jnp.zeros((L, 1), jnp.float32)
+    cos, sin, cos_l, sin_l = dec.pos_tables(cfg, L)
     for i in range(cfg.n_layers):
         lp = dec.layer_slice(params["layers"], i)
-        h, _ = dec.layer_forward(cfg, lp, h, cos, sin, mask)
+        h, _ = dec.layer_forward(
+            cfg, lp, h, cos, sin, mask, layer_idx=i,
+            cos_loc=cos_l, sin_loc=sin_l,
+        )
     got = dec.unembed(cfg, params, h)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
@@ -68,12 +68,12 @@ def test_taps_feed_linears(model):
     h = dec.embed_tokens(cfg, params, toks)
     L = toks.shape[1]
     mask = dec.build_mask(cfg, L, L)
-    if cfg.pos == "rope":
-        cos, sin = dec.rope_tables(cfg.hd, L, cfg.rope_theta)
-    else:
-        cos = sin = jnp.zeros((L, 1), jnp.float32)
+    cos, sin, cos_l, sin_l = dec.pos_tables(cfg, L)
     lp = dec.layer_slice(params["layers"], 0)
-    _, io = dec.layer_forward(cfg, lp, h, cos, sin, mask, return_taps=True)
+    _, io = dec.layer_forward(
+        cfg, lp, h, cos, sin, mask, return_taps=True, layer_idx=0,
+        cos_loc=cos_l, sin_loc=sin_l,
+    )
     taps = io.taps
     names = [n for n in dec.LINEAR_NAMES if cfg.gated_mlp or n != "gate"]
     for n in names:

@@ -14,7 +14,8 @@ from pt2tpu.serve import greedy_generate
 
 
 @pytest.mark.parametrize(
-    "name", ["tiny-llama-gqa", "tiny-opt", "tiny-gpt2", "tiny-gemma", "tiny-bloom"]
+    "name", ["tiny-llama-gqa", "tiny-opt", "tiny-gpt2", "tiny-gemma",
+             "tiny-bloom", "tiny-qwen3", "tiny-gemma3"]
 )
 def test_family_quantize_and_serve(name):
     cfg = get_config(name).with_(n_layers=1)
