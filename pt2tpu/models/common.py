@@ -15,7 +15,7 @@ model params jit/shard transparently, with static metadata in aux_data.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -99,15 +99,36 @@ def layer_norm(
 
 
 def rope_tables(
-    head_dim: int, max_len: int, theta: float = 10000.0, scale: float = 1.0
+    head_dim: int,
+    max_len: int,
+    theta: float = 10000.0,
+    scale: float = 1.0,
+    llama3: Optional[Tuple[float, float, float, int]] = None,
 ):
     """Precompute RoPE cos/sin tables: (max_len, head_dim // 2) each, f32.
 
     ``scale`` > 1 is HF "linear" rope scaling (positions divided by the
-    factor — gemma3's global layers use factor 8)."""
+    factor — gemma3's global layers use factor 8). ``llama3`` is HF's
+    llama-3.1 frequency warping (factor, low_freq_factor, high_freq_factor,
+    original_max_position_embeddings): long-wavelength components are
+    divided by ``factor``, short ones kept, with a smooth ramp between the
+    two wavelength cutoffs (the reference reaches this through HF
+    transformers when loading llama3 checkpoints, ref model.py:141-142)."""
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
     )
+    if llama3 is not None:
+        factor, low_ff, high_ff, orig_len = llama3
+        wavelen = 2.0 * jnp.pi / inv_freq
+        low_wl = orig_len / low_ff  # longest wavelength kept scaled
+        high_wl = orig_len / high_ff  # shortest wavelength left alone
+        smooth = (orig_len / wavelen - low_ff) / (high_ff - low_ff)
+        mid = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+        inv_freq = jnp.where(
+            wavelen > low_wl,
+            inv_freq / factor,
+            jnp.where(wavelen < high_wl, inv_freq, mid),
+        )
     t = jnp.arange(max_len, dtype=jnp.float32) / scale
     freqs = jnp.outer(t, inv_freq)  # (max_len, hd/2)
     return jnp.cos(freqs), jnp.sin(freqs)

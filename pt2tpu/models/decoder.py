@@ -94,6 +94,8 @@ class ModelConfig:
     layer_globals: Optional[Tuple[bool, ...]] = None
     rope_local_theta: Optional[float] = None  # RoPE base for sliding layers
     rope_scale: float = 1.0  # linear rope scaling on the global tables
+    # llama-3.1 rope warping (factor, low_ff, high_ff, original_max_len)
+    rope_llama3: Optional[Tuple[float, float, float, int]] = None
     attn_scale: Optional[float] = None  # query scaling override
     attn_softcap: float = 0.0  # gemma2 attention logit softcap
     final_softcap: float = 0.0  # gemma2 final logit softcap
@@ -192,7 +194,9 @@ def pos_tables(cfg: ModelConfig, max_len: int):
     if cfg.pos != "rope":
         z = jnp.zeros((max_len, 1), jnp.float32)
         return z, z, None, None
-    cos, sin = rope_tables(cfg.hd, max_len, cfg.rope_theta, cfg.rope_scale)
+    cos, sin = rope_tables(
+        cfg.hd, max_len, cfg.rope_theta, cfg.rope_scale, cfg.rope_llama3
+    )
     if cfg.rope_local_theta is None or not cfg.has_sliding:
         return cos, sin, None, None
     cos_l, sin_l = rope_tables(cfg.hd, max_len, cfg.rope_local_theta)

@@ -88,8 +88,24 @@ def config_from_hf(model_dir: str) -> ModelConfig:
         hc = {**hc["text_config"], "architectures": hc.get("architectures")}
         mt = "gemma3_text"
     if "llama" in arch or mt in ("llama", "mistral", "qwen2", "qwen3"):
+        rs = hc.get("rope_scaling") or {}
+        rtype = rs.get("rope_type") or rs.get("type")
+        rope_scale, rope_llama3 = 1.0, None
+        if rtype == "linear":
+            rope_scale = float(rs.get("factor", 1.0))
+        elif rtype == "llama3":
+            rope_llama3 = (
+                float(rs.get("factor", 8.0)),
+                float(rs.get("low_freq_factor", 1.0)),
+                float(rs.get("high_freq_factor", 4.0)),
+                int(rs.get("original_max_position_embeddings", 8192)),
+            )
+        elif rtype not in (None, "default"):
+            raise ValueError(f"unsupported rope_scaling type '{rtype}'")
         return ModelConfig(
             family=mt,
+            rope_scale=rope_scale,
+            rope_llama3=rope_llama3,
             vocab_size=hc["vocab_size"],
             dim=hc["hidden_size"],
             n_layers=hc["num_hidden_layers"],

@@ -122,3 +122,20 @@ def test_gemma3_parity(tmp_path):
         rope_scaling={"rope_type": "linear", "factor": 8.0},
     )
     _compare(tmp_path, transformers.Gemma3ForCausalLM(c))
+
+
+def test_llama31_rope_scaling_parity(tmp_path):
+    # llama-3.1 rope warping: long wavelengths scaled by 1/factor, short
+    # kept, smooth ramp between (HF rope_type "llama3")
+    c = transformers.LlamaConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        rope_theta=500000.0,
+        rope_scaling={
+            "rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 16,
+        },
+    )
+    _compare(tmp_path, transformers.LlamaForCausalLM(c))
