@@ -47,6 +47,7 @@ __all__ = [
     "ModelConfig",
     "build_mask",
     "pos_tables",
+    "sliding_adjust",
     "layer_view",
     "init_params",
     "forward",
@@ -372,6 +373,60 @@ def embed_tokens_per_row(
     return h
 
 
+def sliding_adjust(
+    cfg: ModelConfig,
+    layer_idx: Optional[jax.Array],
+    cos, sin, cos_loc, sin_loc,
+    mask, kv_valid,
+    cache, cache_pos,
+    B: int, L: int,
+):
+    """Fold per-layer sliding-window semantics (gemma2/3) into the
+    attention inputs; no-op for all-global configs.
+
+    Selects the local RoPE tables on sliding layers (when the config has a
+    distinct local base), and narrows the receptive field to the trailing
+    window — via the additive ``mask`` on shared-position paths, or via
+    ``kv_valid`` on the per-row continuous-batching decode path. Shared by
+    the single-chip layer and the manual-TP layer (parallel/tp.py).
+    Returns (cos, sin, mask, kv_valid).
+    """
+    if not cfg.has_sliding:
+        return cos, sin, mask, kv_valid
+    if layer_idx is None:
+        raise ValueError("sliding-window configs need layer_idx")
+    is_global = jnp.asarray(cfg.globals_list())[layer_idx]
+    if cos_loc is not None:
+        cos = jnp.where(is_global, cos, cos_loc)
+        sin = jnp.where(is_global, sin, sin_loc)
+    W = cfg.sliding_window
+    per_row = cache is not None and jnp.ndim(cache_pos) != 0
+    if per_row:
+        # Continuous-batching decode (L == 1): window -> kv_valid.
+        M = cache.k.shape[-3] if hasattr(cache, "k") else kv_valid.shape[-1]
+        kv_pos = jnp.arange(M)
+        win_ok = kv_pos[None, :] > (cache_pos[:, None] - W)  # (B, M)
+        base = (
+            kv_valid
+            if kv_valid is not None
+            else jnp.ones((B, M), dtype=bool)
+        )
+        kv_valid = jnp.where(is_global, base, base & win_ok)
+    else:
+        if mask is None or mask.ndim != 2:
+            raise ValueError(
+                "sliding-window attention needs a shared (Lq, Lkv) mask"
+            )
+        q0 = 0 if (cache is None or cache_pos is None) else cache_pos
+        q_pos = q0 + jnp.arange(L)
+        kv_pos = jnp.arange(mask.shape[-1])
+        win = jnp.where(
+            kv_pos[None, :] > q_pos[:, None] - W, 0.0, -jnp.inf
+        ).astype(jnp.float32)
+        mask = mask + jnp.where(is_global, 0.0, win)
+    return cos, sin, mask, kv_valid
+
+
 class LayerIO(NamedTuple):
     """Per-layer auxiliary outputs."""
 
@@ -394,6 +449,10 @@ def layer_forward(
     layer_idx: Optional[jax.Array] = None,  # enables stacked-weight kernels
     cos_loc: Optional[jax.Array] = None,  # sliding-layer RoPE tables (gemma3)
     sin_loc: Optional[jax.Array] = None,
+    global_layer_idx: Optional[jax.Array] = None,  # if weights are a local
+    # slice of the model (pipeline stages): the layer's position in the FULL
+    # model, for sliding-window global/local selection. Defaults to
+    # ``layer_idx``.
 ) -> Tuple[jax.Array, LayerIO]:
     """One decoder layer. Returns (output hidden, LayerIO).
 
@@ -412,39 +471,11 @@ def layer_forward(
     H, Hkv, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
     taps: Dict[str, jax.Array] = {}
 
-    is_global = None
-    if cfg.has_sliding:
-        if layer_idx is None:
-            raise ValueError("sliding-window configs need layer_idx")
-        is_global = jnp.asarray(cfg.globals_list())[layer_idx]
-        if cos_loc is not None:
-            cos = jnp.where(is_global, cos, cos_loc)
-            sin = jnp.where(is_global, sin, sin_loc)
-        W = cfg.sliding_window
-        per_row = cache is not None and jnp.ndim(cache_pos) != 0
-        if per_row:
-            # Continuous-batching decode (L == 1): window -> kv_valid.
-            M = cache.k.shape[-3] if hasattr(cache, "k") else kv_valid.shape[-1]
-            kv_pos = jnp.arange(M)
-            win_ok = kv_pos[None, :] > (cache_pos[:, None] - W)  # (B, M)
-            base = (
-                kv_valid
-                if kv_valid is not None
-                else jnp.ones((B, M), dtype=bool)
-            )
-            kv_valid = jnp.where(is_global, base, base & win_ok)
-        else:
-            if mask is None or mask.ndim != 2:
-                raise ValueError(
-                    "sliding-window attention needs a shared (Lq, Lkv) mask"
-                )
-            q0 = 0 if (cache is None or cache_pos is None) else cache_pos
-            q_pos = q0 + jnp.arange(L)
-            kv_pos = jnp.arange(mask.shape[-1])
-            win = jnp.where(
-                kv_pos[None, :] > q_pos[:, None] - W, 0.0, -jnp.inf
-            ).astype(jnp.float32)
-            mask = mask + jnp.where(is_global, 0.0, win)
+    gli = global_layer_idx if global_layer_idx is not None else layer_idx
+    cos, sin, mask, kv_valid = sliding_adjust(
+        cfg, gli, cos, sin, cos_loc, sin_loc, mask, kv_valid,
+        cache, cache_pos, B, L,
+    )
 
     h = _norm(cfg, x, lp["ln1_w"], lp["ln1_b"])
     if return_taps:

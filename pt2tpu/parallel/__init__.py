@@ -1,10 +1,13 @@
 from .mesh import auto_mesh, initialize_distributed, make_mesh
+from .pp import make_pp_forward_fn, pp_forward
 from .sharding import batch_sharding, param_shardings, shard_params
 
 __all__ = [
     "auto_mesh",
     "initialize_distributed",
     "make_mesh",
+    "make_pp_forward_fn",
+    "pp_forward",
     "batch_sharding",
     "param_shardings",
     "shard_params",

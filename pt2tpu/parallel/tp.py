@@ -181,11 +181,18 @@ def tp_layer_forward(
     chunks: int = 2,
     impl: str = "auto",
     layer_idx: Optional[jax.Array] = None,  # stacked-weight kernels
+    cos_loc: Optional[jax.Array] = None,  # sliding-layer RoPE (gemma3)
+    sin_loc: Optional[jax.Array] = None,
 ):
     """One decoder layer under manual TP. Call inside shard_map.
 
     Returns (hidden, updated KVLayerView or None). With ``cache`` given,
     this shard writes/reads only its own kv heads (head-sharded cache).
+    Covers the full gated-MLP family surface (llama/mistral/qwen/gemma/
+    gemma2/gemma3): norm_plus_one, act dispatch, qk-norm, sandwich norms,
+    attention scaling/softcap, per-layer sliding windows + dual RoPE —
+    per-head norms and the (D,)-sized sandwich norms are replicated, so
+    only the projections themselves are sharded.
     """
     ways = jax.lax.psum(1, axis)
     H = cfg.n_heads // ways
@@ -193,12 +200,20 @@ def tp_layer_forward(
     hd = cfg.hd
     B, L, D = x.shape
 
-    h = rms_norm(x, lp["ln1_w"], cfg.norm_eps)
+    cos, sin, mask, kv_valid = dec.sliding_adjust(
+        cfg, layer_idx, cos, sin, cos_loc, sin_loc, mask, kv_valid,
+        cache, cache_pos, B, L,
+    )
+
+    h = dec._norm(cfg, x, lp["ln1_w"], lp.get("ln1_b"))
     qkv = apply_linear(lp["qkv"], h, impl, layer_idx)  # col: this shard's heads
     nq, nkv = H * hd, Hkv * hd
     q = qkv[..., :nq].reshape(B, L, H, hd)
     k = qkv[..., nq : nq + nkv].reshape(B, L, Hkv, hd)
     v = qkv[..., nq + nkv :].reshape(B, L, Hkv, hd)
+    if cfg.qk_norm:
+        q = dec._head_norm(cfg, q, lp["q_norm_w"])
+        k = dec._head_norm(cfg, k, lp["k_norm_w"])
     if cfg.pos == "rope":
         q = dec.apply_rope(q, cos, sin)
         k = dec.apply_rope(k, cos, sin)
@@ -210,22 +225,30 @@ def tp_layer_forward(
         else:
             new_kv = cache.write_rows(k, v, cache_pos)
         ck, cv = new_kv.read(q.dtype)
-        ctx = attention(q, ck, cv, mask, kv_valid)
+        ctx = attention(q, ck, cv, mask, kv_valid,
+                        scale=cfg.attn_scale, softcap=cfg.attn_softcap)
     else:
-        ctx = attention(q, k, v, mask)
+        ctx = attention(q, k, v, mask,
+                        scale=cfg.attn_scale, softcap=cfg.attn_softcap)
         new_kv = None
     ctx = ctx.reshape(B, L, H * hd)
     # Megatron g-op: assemble the full ctx feature dim for the row-parallel
     # o projection (whose SSR gather, if any, permutes across all heads).
     ctx_full = jax.lax.all_gather(ctx, axis, axis=-1, tiled=True)
-    x = x + tp_row_apply(lp["o"], ctx_full, axis, chunks, impl, layer_idx)
+    ao = tp_row_apply(lp["o"], ctx_full, axis, chunks, impl, layer_idx)
+    if cfg.sandwich_norm:
+        ao = dec._norm(cfg, ao, lp["post_attn_w"], None)
+    x = x + ao
 
-    h = rms_norm(x, lp["ln2_w"], cfg.norm_eps)
+    h = dec._norm(cfg, x, lp["ln2_w"], lp.get("ln2_b"))
     gu = apply_linear(lp["gateup"], h, impl, layer_idx)  # col: [gate_s|up_s]
     Iloc = gu.shape[-1] // 2
-    mid = jax.nn.silu(gu[..., :Iloc]) * gu[..., Iloc:]
+    mid = dec._act(cfg, gu[..., :Iloc]) * gu[..., Iloc:]
     mid_full = jax.lax.all_gather(mid, axis, axis=-1, tiled=True)
-    x = x + tp_row_apply(lp["down"], mid_full, axis, chunks, impl, layer_idx)
+    mo = tp_row_apply(lp["down"], mid_full, axis, chunks, impl, layer_idx)
+    if cfg.sandwich_norm:
+        mo = dec._norm(cfg, mo, lp["post_mlp_w"], None)
+    x = x + mo
     return x, new_kv
 
 
@@ -271,11 +294,11 @@ def prepare_tp_layer(cfg: dec.ModelConfig, lp: Dict[str, Any], ways: int):
     """
     if cfg.n_heads % ways or cfg.kv_heads % ways or cfg.intermediate % ways:
         raise ValueError(f"ways={ways} must divide heads and intermediate")
-    if cfg.has_sliding or cfg.qk_norm or cfg.sandwich_norm:
+    if not cfg.gated_mlp:
         raise NotImplementedError(
-            "manual TP supports the llama-family layer; sliding-window / "
-            "qk-norm / sandwich-norm configs (gemma2/3, qwen3) run on the "
-            "GSPMD path (parallel/sharding.py)"
+            "manual TP covers the gated-MLP families (llama/mistral/qwen/"
+            "gemma/gemma2/gemma3); non-gated models (opt/gpt2/bloom) run "
+            "on the GSPMD path (parallel/sharding.py)"
         )
     for name in ("o", "down"):
         nbp = lp[name].alpha.shape[-2]
@@ -338,15 +361,15 @@ def make_tp_layer_fn(
     L: int,
     chunks: int = 2,
     impl: str = "auto",
+    layer_idx: Optional[int] = None,  # required for sliding-window configs
 ):
     """Jitted shard_map layer step: (lp, x replicated) -> x replicated."""
-    if cfg.pos == "rope":
-        cos, sin = dec.rope_tables(cfg.hd, L, cfg.rope_theta)
-    else:
-        cos = sin = jnp.zeros((L, 1), jnp.float32)
+    cos, sin, cos_l, sin_l = dec.pos_tables(cfg, L)
     mask = causal_mask(L, L)
+    li = None if layer_idx is None else jnp.int32(layer_idx)
     fn = functools.partial(
-        tp_layer_forward, cfg, axis="model", chunks=chunks, impl=impl
+        tp_layer_forward, cfg, axis="model", chunks=chunks, impl=impl,
+        layer_idx=li, cos_loc=cos_l, sin_loc=sin_l,
     )
 
     def step(lp_, x):
@@ -471,16 +494,17 @@ def tp_generate(
     if Lp + max_new > M:
         raise ValueError(f"prompt {Lp} + max_new {max_new} exceeds max_len {M}")
     Hkv_local = cfg.kv_heads // ways
-    if cfg.pos == "rope":
-        cos_all, sin_all = dec.rope_tables(cfg.hd, M, cfg.rope_theta)
-    else:
-        cos_all = sin_all = jnp.zeros((M, 1), jnp.float32)
+    cos_all, sin_all, cosl_all, sinl_all = dec.pos_tables(cfg, M)
 
     def fwd(params_, toks, cache: KVCache, pos0):
         L = toks.shape[1]
         h = dec.embed_tokens(cfg, params_, toks, pos0=pos0)
         cos = jax.lax.dynamic_slice_in_dim(cos_all, pos0, L)
         sin = jax.lax.dynamic_slice_in_dim(sin_all, pos0, L)
+        cos_l = sin_l = None
+        if cosl_all is not None:
+            cos_l = jax.lax.dynamic_slice_in_dim(cosl_all, pos0, L)
+            sin_l = jax.lax.dynamic_slice_in_dim(sinl_all, pos0, L)
         mask = dec.build_mask(cfg, L, M, q_offset=pos0)
         views = KVLayerView(
             k=cache.k, v=cache.v, k_scale=cache.k_scale, v_scale=cache.v_scale
@@ -492,6 +516,7 @@ def tp_generate(
             y, kv = tp_layer_forward(
                 cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=pos0,
                 axis="model", chunks=chunks, impl=impl, layer_idx=li,
+                cos_loc=cos_l, sin_loc=sin_l,
             )
             return y, kv
 
@@ -558,17 +583,19 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
                          length=P())
 
     def _rope(M):
-        if cfg.pos == "rope":
-            return dec.rope_tables(cfg.hd, M, cfg.rope_theta)
-        return (jnp.zeros((M, 1), jnp.float32),) * 2
+        return dec.pos_tables(cfg, M)
 
     def _decode_body(params_, tokens, cache, positions, active):
         B = tokens.shape[0]
         M = cache.max_len
         x = dec.embed_tokens_per_row(cfg, params_, tokens, positions)
-        cos_all, sin_all = _rope(M)
+        cos_all, sin_all, cosl_all, sinl_all = _rope(M)
         cos = jnp.take(cos_all, positions, axis=0)[:, None]
         sin = jnp.take(sin_all, positions, axis=0)[:, None]
+        cos_l = sin_l = None
+        if cosl_all is not None:
+            cos_l = jnp.take(cosl_all, positions, axis=0)[:, None]
+            sin_l = jnp.take(sinl_all, positions, axis=0)[:, None]
         kv_valid = jnp.arange(M)[None, :] <= positions[:, None]
         views = KVLayerView(k=cache.k, v=cache.v, k_scale=None, v_scale=None)
 
@@ -578,7 +605,7 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
             y, kv = tp_layer_forward(
                 cfg, lp, h, cos, sin, None, cache=kvl, cache_pos=positions,
                 kv_valid=kv_valid, axis="model", chunks=chunks, impl=impl,
-                layer_idx=li,
+                layer_idx=li, cos_loc=cos_l, sin_loc=sin_l,
             )
             return y, kv
 
@@ -611,8 +638,10 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
                 k_scale=None, v_scale=None,
             )
             h = dec.embed_tokens(cfg, params_, prompt)
-            cos_all, sin_all = _rope(M)
+            cos_all, sin_all, cosl_all, sinl_all = _rope(M)
             cos, sin = cos_all[:Lb], sin_all[:Lb]
+            cos_l = None if cosl_all is None else cosl_all[:Lb]
+            sin_l = None if sinl_all is None else sinl_all[:Lb]
             mask = dec.build_mask(cfg, Lb, M)
 
             def body(x, xs):
@@ -621,6 +650,7 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
                 y, kv = tp_layer_forward(
                     cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=0,
                     axis="model", chunks=chunks, impl=impl, layer_idx=li,
+                    cos_loc=cos_l, sin_loc=sin_l,
                 )
                 return y, kv
 

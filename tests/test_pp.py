@@ -1,0 +1,68 @@
+"""Pipeline parallelism (parallel/pp.py): stage-partitioned microbatch
+pipeline == single-device forward, exactly.
+
+The reference has nothing to compare against here (SURVEY.md §2.3: no PP);
+the contract is internal consistency with models/decoder.forward.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pt2tpu.models import decoder as dec
+from pt2tpu.models import get_config
+from pt2tpu.parallel.mesh import make_mesh
+from pt2tpu.parallel.pp import pp_forward
+from pt2tpu.utils.randmodel import random_ternary_params
+
+
+@pytest.mark.parametrize("stages,n_micro", [(2, 2), (4, 2), (4, 4), (2, 1)])
+def test_pp_matches_forward_dense(rng, stages, n_micro):
+    cfg = get_config("tiny-llama").with_(n_layers=4)
+    params = dec.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 8)), jnp.int32)
+    want = dec.forward(cfg, params, toks, impl="xla")
+
+    mesh = make_mesh({"stage": stages}, jax.devices()[:stages])
+    got = pp_forward(cfg, mesh, params, toks, n_micro=n_micro, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_pp_matches_forward_quantized(rng):
+    """Stage-sharded packed-ternary leaves (stacked kernels, SSR gathers)."""
+    cfg = get_config("tiny-llama").with_(n_layers=4)
+    params = random_ternary_params(cfg, jax.random.PRNGKey(3), perm_mode="ssr")
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 8)), jnp.int32)
+    want = dec.forward(cfg, params, toks, impl="xla")
+
+    mesh = make_mesh({"stage": 4}, jax.devices()[:4])
+    got = pp_forward(cfg, mesh, params, toks, n_micro=2, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_pp_sliding_global_layer_index(rng):
+    """gemma3 split across stages: each stage must resolve its layers'
+    GLOBAL indices for the sliding/global attention pattern."""
+    cfg = get_config("tiny-gemma3")  # 4 layers, alternating sliding/global
+    params = dec.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)), jnp.int32)
+    want = dec.forward(cfg, params, toks, impl="xla")
+
+    mesh = make_mesh({"stage": 2}, jax.devices()[:2])
+    got = pp_forward(cfg, mesh, params, toks, n_micro=2, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_pp_validation():
+    cfg = get_config("tiny-llama")  # 2 layers
+    params = dec.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    mesh = make_mesh({"stage": 4}, jax.devices()[:4])
+    with pytest.raises(ValueError, match="stages"):
+        pp_forward(cfg, mesh, params, jnp.zeros((4, 8), jnp.int32))

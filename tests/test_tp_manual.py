@@ -115,3 +115,57 @@ def test_tp_engine_matches_default(rng):
         )
     )
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name,ways",
+    [("tiny-gemma", 2), ("tiny-qwen3", 2), ("tiny-gemma3", 2)],
+)
+def test_tp_generate_gated_families(rng, name, ways):
+    """Manual TP on the non-llama gated families: gemma's (1+w) norms and
+    gelu, qwen3's qk-norm, gemma3's sliding windows + dual RoPE + sandwich
+    norms all inside the shard_map decode loop."""
+    from pt2tpu.parallel.tp import prepare_tp_params, tp_generate
+    from pt2tpu.serve import greedy_generate
+
+    cfg = get_config(name)
+    params = random_ternary_params(cfg, jax.random.PRNGKey(5), perm_mode="ssr")
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)), jnp.int32)
+    want = greedy_generate(cfg, params, prompt, max_new=6, max_len=32, impl="xla")
+
+    mesh = make_mesh({"data": 8 // ways, "model": ways})
+    tp_params = prepare_tp_params(cfg, params, ways=ways)
+    got = tp_generate(cfg, mesh, tp_params, prompt, max_new=6, max_len=32, impl="xla")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_tp_engine_sliding_per_row(rng):
+    """Continuous-batching TP engine on a sliding-window config: per-row
+    window masks inside shard_map == default engine."""
+    from pt2tpu.parallel.tp import make_tp_engine_fns, prepare_tp_params
+    from pt2tpu.serve.engine import ServeEngine
+
+    cfg = get_config("tiny-gemma3")
+    params = random_ternary_params(cfg, jax.random.PRNGKey(9), perm_mode="ssr")
+
+    def run(engine):
+        reqs = [
+            engine.submit(rng2.integers(0, cfg.vocab_size, (lp,)), max_new=5)
+            for lp, rng2 in zip(
+                [3, 9, 17], [np.random.default_rng(s) for s in range(3)]
+            )
+        ]
+        engine.run()
+        return [r.out for r in reqs]
+
+    want = run(ServeEngine(cfg, params, max_batch=2, max_len=64, impl="xla"))
+    mesh = make_mesh({"data": 4, "model": 2})
+    tp_params = prepare_tp_params(cfg, params, ways=2)
+    pf, df = make_tp_engine_fns(cfg, mesh, tp_params, impl="xla")
+    got = run(
+        ServeEngine(
+            cfg, tp_params, max_batch=2, max_len=64, impl="xla",
+            prefill_fn=pf, decode_fn=df,
+        )
+    )
+    assert got == want
