@@ -150,10 +150,34 @@ def _make_kernel(bps: int, bs: int, a8: bool = False):
             smat.astype(cdt), offset, preferred_element_type=jnp.float32
         )
 
+        # Mask-free telescoped unpack for decode-size row tiles: with
+        # zero-extended bytes the raw shifted plane s_q = sum_{p>=q}
+        # 4^(p-q) c_p telescopes, so  dot(x, masked_planes) =
+        # dot([x; -4*shift(x)], raw_planes)  — the 4 full-volume mask
+        # passes become 16 extra x rows, free below the MXU pipeline fill
+        # (measured ~10% on the qkv shape; exact, unlike folding the
+        # stack into one bf16 x~ operand, whose rounding is amplified by
+        # the 0..255 plane magnitudes). At prefill row tiles (B > 64) the
+        # doubled dot rows are real FLOPs — keep the masked path there.
+        telescope = (not a8) and B <= 64
         for p in range(bps):  # static unroll; all slices compile-time aligned
+            xb = xs[:, p * bs : (p + 1) * bs]  # (B, bs)
+            if telescope:
+                pk = pltpu.bitcast(
+                    packed_ref[p * bs4 : (p + 1) * bs4, :], jnp.uint8
+                ).astype(jnp.int32)
+                planes = [(pk >> (2 * q)) for q in range(4)]  # no masks
+                u = jnp.concatenate(planes, axis=0).astype(cdt)  # <=255 exact
+                xb2 = jnp.concatenate(
+                    [jnp.zeros((B, bs4), cdt), xb[:, : bs - bs4]], axis=1
+                )
+                xs2 = jnp.concatenate([xb, -4.0 * xb2], axis=0)  # (2B, bs)
+                d2 = jnp.dot(xs2, u, preferred_element_type=jnp.float32)
+                d = d2[:B] + d2[B:]
+                acc += d * alpha_ref[p : p + 1, :].astype(jnp.float32)
+                continue
             pk = packed_ref[p * bs4 : (p + 1) * bs4, :].astype(jnp.int32)
             planes = [((pk >> (2 * q)) & 3) for q in range(4)]
-            xb = xs[:, p * bs : (p + 1) * bs]  # (B, bs)
             if a8:
                 u8 = jnp.concatenate(
                     [q_.astype(jnp.int8) for q_ in planes], axis=0

@@ -1,6 +1,7 @@
 from .generate import forward_cached, generate, greedy_generate, prefill
 from .sampling import SamplingConfig, sample
 from .kvcache import KVCache, init_cache
+from .speculative import SpecStats, speculative_generate
 
 __all__ = [
     "forward_cached",
@@ -11,4 +12,6 @@ __all__ = [
     "prefill",
     "KVCache",
     "init_cache",
+    "SpecStats",
+    "speculative_generate",
 ]

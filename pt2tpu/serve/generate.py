@@ -29,10 +29,12 @@ def forward_cached(
     cache: KVCache,
     pos0,  # scalar int: first position of `tokens`
     impl: str = "auto",
+    all_logits: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Run ``tokens`` at positions [pos0, pos0+L) against the cache.
 
-    Returns (last-position logits (B, V), updated cache).
+    Returns (last-position logits (B, V) — or (B, L, V) with
+    ``all_logits``, the speculative-verify path — and the updated cache).
     """
     B, L = tokens.shape
     M = cache.max_len
@@ -63,6 +65,10 @@ def forward_cached(
     h, new_views = jax.lax.scan(
         body, h, (jnp.arange(cfg.n_layers), views)
     )
+    if all_logits:
+        return dec.unembed(cfg, params, h), cache.with_layers(
+            new_views, pos0 + L
+        )
     logits = dec.unembed(cfg, params, h[:, -1:, :])[:, 0]
     return logits, cache.with_layers(new_views, pos0 + L)
 

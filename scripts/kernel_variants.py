@@ -176,6 +176,25 @@ def make_kernel(variant: str, bps: int):
                 xs2 = jnp.concatenate([xb, -4.0 * xb2], axis=0)  # (2B, BS)
                 d2 = jnp.dot(xs2, u, preferred_element_type=jnp.float32)
                 d = d2[:B_] + d2[B_:]
+            elif variant in ("nomask_1dot", "i16_nomask_1dot"):
+                # Mask-free telescoped planes folded into ONE dot: the
+                # 2B-row stack of nomask_2dot collapses into a single
+                # modified x operand x~ = xb - 4*shift(xb) (one tiny VPU
+                # pass over the x tile) at the cost of one extra bf16
+                # rounding on x~ (|x~| <= 5|x|, so ~2^-9 relative).
+                B_ = xs.shape[0]
+                if variant == "i16_nomask_1dot":
+                    pkw = pltpu.bitcast(pk, jnp.uint8).astype(jnp.int16)
+                else:
+                    pkw = pltpu.bitcast(pk, jnp.uint8).astype(jnp.int32)
+                planes = [(pkw >> (2 * q)) for q in range(4)]  # no masks
+                u = jnp.concatenate(planes, axis=0).astype(cdt)  # <=255 exact
+                xb2 = jnp.concatenate(
+                    [jnp.zeros((B_, BS4), jnp.float32),
+                     xb[:, : BS - BS4].astype(jnp.float32)], axis=1
+                )
+                xt = (xb.astype(jnp.float32) - 4.0 * xb2).astype(cdt)
+                d = jnp.dot(xt, u, preferred_element_type=jnp.float32)
             elif variant == "bf16_floors":
                 # All-bf16 field extraction, single dot: signed cast, prefix
                 # planes p_q = floor(b/4^q), fields f_q = p_q - 4 p_{q+1};
@@ -421,6 +440,8 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
 
     exact = {
+        "nomask_1dot": packed,
+        "i16_nomask_1dot": packed,
         "nomask_2dot": packed,
         "bf16_floors": packed,
         "bf16_floors_2dot": packed,
@@ -444,9 +465,9 @@ def main():
 
     timed = [
         ("baseline", packed),
+        ("nomask_1dot", packed),
         ("nomask_2dot", packed),
-        ("bf16_floors", packed),
-        ("bf16_floors_2dot", packed),
+        ("nomask_a8", packed),
         ("int8_dot", packed),
         ("nibble_a8", packed),
         ("no_unpack", packed),
@@ -455,7 +476,7 @@ def main():
         v: (lambda c, pk=pk, v=v: run_variant(c, pk, alpha, mu, variant=v))
         for v, pk in timed
     }
-    times = time_chain_interleaved(calls, x0)
+    times = time_chain_interleaved(calls, x0, reps=17)
     for v, t in times.items():
         gbs = (K // 4) * n / t / 1e9
         print(f"{v:14s}: {t*1e6:7.1f} us  packed {gbs:6.1f} GB/s", flush=True)
