@@ -171,6 +171,32 @@ def cmd_generate(args):
 
     from .serve import SamplingConfig, generate
 
+    if args.draft:
+        if args.temperature > 0:
+            raise SystemExit("--draft (speculative) is greedy-only")
+        from .serve.speculative import speculative_generate
+        from .utils.checkpoint import load_model
+
+        if os.path.exists(os.path.join(args.draft, "manifest.json")):
+            cfg_d, params_d = load_model(args.draft)
+        else:
+            dtype = (
+                jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+            )
+            cfg_d, params_d, _ = _resolve_model(args.draft, dtype, args.seed)
+        out, stats = speculative_generate(
+            cfg, params, cfg_d, params_d, prompt,
+            max_new=args.max_new, k=args.spec_k,
+            impl="a8" if args.a8 else "auto", kv_quant=args.kv_int8,
+        )
+        print(f"speculative: {stats}", file=sys.stderr)
+        ids_out = np.asarray(out)[0].tolist()
+        if tok:
+            print(tok.decode(ids_out))
+        else:
+            print(",".join(map(str, ids_out)))
+        return
+
     scfg = SamplingConfig(
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p
     )
@@ -278,6 +304,11 @@ def build_parser():
     g.add_argument("--top_k", type=int, default=0)
     g.add_argument("--top_p", type=float, default=1.0)
     g.add_argument("--tp", type=int, default=1, help="tensor-parallel ways")
+    g.add_argument("--draft", default=None,
+                   help="draft model/artifact for speculative decoding "
+                        "(greedy only; exact vs plain greedy)")
+    g.add_argument("--spec-k", type=int, default=4,
+                   help="draft tokens per speculative round")
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--tokenizer", default=None)
     g.set_defaults(fn=cmd_generate)
