@@ -1,6 +1,7 @@
 from .generate import forward_cached, generate, greedy_generate, prefill
 from .sampling import SamplingConfig, sample
 from .kvcache import KVCache, init_cache
+from .ring import RingCaches, init_ring_caches, ring_generate
 from .speculative import SpecStats, speculative_generate
 
 __all__ = [
@@ -12,6 +13,9 @@ __all__ = [
     "prefill",
     "KVCache",
     "init_cache",
+    "RingCaches",
+    "init_ring_caches",
+    "ring_generate",
     "SpecStats",
     "speculative_generate",
 ]
