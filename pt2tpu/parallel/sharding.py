@@ -29,7 +29,7 @@ from ..models.common import DenseLinear
 from ..ops.gather import PackedGather
 from ..ops.ternary_matmul import PackedTernaryLinear
 
-__all__ = ["param_shardings", "shard_params", "batch_sharding"]
+__all__ = ["param_shardings", "shard_params", "batch_sharding", "seq_sharding", "sp_forward"]
 
 _COL = {"q", "k", "v", "gate", "up", "qkv", "gateup"}  # column-parallel
 _ROW = {"o", "down"}  # row-parallel (in features sharded)
@@ -163,3 +163,30 @@ def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     """Tokens/activations: batch on 'data', rest replicated."""
     return _ns(mesh, *(["data"] + [None] * (ndim - 1)))
+
+
+def seq_sharding(mesh: Mesh, ndim: int = 2, axis: str = "data") -> NamedSharding:
+    """Sequence/context parallelism: the L dim of (B, L, ...) tokens or
+    activations sharded over ``axis``.
+
+    The reference processes its fixed 2048-token windows on one device
+    (SURVEY.md §2.3 SP row: absent); here long-context prefill/eval shards
+    the sequence and lets GSPMD partition the forward — Q and the residual
+    stream stay sequence-sharded, K/V all-gather inside attention (the
+    scaling-book context-parallel recipe, collective inserted by XLA)."""
+    return _ns(mesh, None, axis, *([None] * (ndim - 2)))
+
+
+def sp_forward(cfg, params, tokens: jax.Array, mesh: Mesh, impl: str = "xla"):
+    """Context-parallel full causal forward to logits (B, L, V).
+
+    ``tokens``' L dim must divide the mesh's 'data' axis. Combine with
+    model-sharded params (``shard_params``) for 2-D (sequence x tensor)
+    parallel prefill."""
+    import functools
+
+    from ..models import decoder as dec
+
+    toks = jax.device_put(tokens, seq_sharding(mesh))
+    fn = jax.jit(functools.partial(dec.forward, cfg, impl=impl))
+    return fn(params, toks)
