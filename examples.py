@@ -218,6 +218,80 @@ def example_manual_tp():
           f"{bool((got == want).all())}")
 
 
+def example_speculative():
+    """Speculative decoding: small draft proposes, target verifies (exact)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pt2tpu.models import decoder as dec
+    from pt2tpu.models import get_config
+    from pt2tpu.serve import greedy_generate
+    from pt2tpu.serve.speculative import speculative_generate
+
+    cfg = get_config("tiny-llama")
+    params = dec.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    cfg_d = cfg.with_(n_layers=1)
+    params_d = dec.init_params(cfg_d, jax.random.PRNGKey(7), dtype=jnp.float32)
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 5)), jnp.int32
+    )
+    out, stats = speculative_generate(
+        cfg, params, cfg_d, params_d, prompt, max_new=12, k=4, max_len=64
+    )
+    ref = greedy_generate(cfg, params, prompt, max_new=12, max_len=64)
+    print(f"  {stats}")
+    print(f"  spec tokens == greedy tokens: {bool((out == ref).all())}")
+
+
+def example_ring_kv():
+    """Ring KV cache: gemma3 sliding layers keep only window-sized caches."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pt2tpu.models import decoder as dec
+    from pt2tpu.models import get_config
+    from pt2tpu.serve import greedy_generate
+    from pt2tpu.serve.ring import init_ring_caches, ring_generate
+
+    cfg = get_config("tiny-gemma3")
+    params = dec.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompt = jnp.asarray(
+        np.random.default_rng(1).integers(0, cfg.vocab_size, (1, 9)), jnp.int32
+    )
+    caches = init_ring_caches(cfg, 1, 96)
+    print(f"  sliding cache {caches.ring.k.shape} vs global {caches.glob.k.shape}")
+    got = ring_generate(cfg, params, prompt, max_new=24, max_len=96, impl="xla")
+    ref = greedy_generate(cfg, params, prompt, max_new=24, max_len=96, impl="xla")
+    print(f"  ring tokens == flat-cache tokens: {bool((got == ref).all())}")
+
+
+def example_pipeline_parallel():
+    """Pipeline parallelism: stage-sharded layers, microbatch rotation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pt2tpu.models import decoder as dec
+    from pt2tpu.models import get_config
+    from pt2tpu.parallel import make_mesh, pp_forward
+
+    if len(jax.devices()) < 2:
+        print("  (needs >= 2 devices; run under the test conftest)")
+        return
+    cfg = get_config("tiny-llama").with_(n_layers=4)
+    params = dec.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jnp.asarray(
+        np.random.default_rng(2).integers(0, cfg.vocab_size, (4, 8)), jnp.int32
+    )
+    mesh = make_mesh({"stage": 2}, jax.devices()[:2])
+    got = pp_forward(cfg, mesh, params, toks, n_micro=2, impl="xla")
+    want = dec.forward(cfg, params, toks, impl="xla")
+    import numpy as _np
+    print(f"  pp logits match: {bool(_np.allclose(_np.asarray(got), _np.asarray(want), atol=1e-5))}")
+
+
 EXAMPLES = {
     "atq": example_atq_stages,
     "ssr": example_ssr,
@@ -227,6 +301,9 @@ EXAMPLES = {
     "sharding": example_sharding,
     "fold": example_fold,
     "tp": example_manual_tp,
+    "speculative": example_speculative,
+    "ring": example_ring_kv,
+    "pp": example_pipeline_parallel,
 }
 
 
