@@ -176,6 +176,11 @@ def config_from_hf(model_dir: str) -> ModelConfig:
             )
         if mt in ("gemma3_text", "gemma3") or "gemma3" in arch:
             rs = hc.get("rope_scaling") or {}
+            rtype = rs.get("rope_type") or rs.get("type")
+            if rtype not in (None, "default", "linear"):
+                raise ValueError(
+                    f"unsupported gemma3 rope_scaling type '{rtype}'"
+                )
             return ModelConfig(
                 family="gemma3",
                 qk_norm=True,

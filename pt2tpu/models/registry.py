@@ -20,7 +20,9 @@ def get_model_type(model_name: str) -> str:
     s = model_name.lower()
     if "gemma-3" in s or "gemma3" in s:
         return "gemma3"
-    if "gemma-2" in s or "gemma2" in s:
+    # "gemma-2-9b"/"gemma-2-2b" are v2; "gemma-2b"/"gemma-7b" are v1 —
+    # plain "gemma-2" substring would misclassify the v1 2B checkpoint.
+    if "gemma-2-" in s or s.endswith("gemma-2") or "gemma2" in s:
         return "gemma2"
     if "gemma" in s:
         return "gemma"

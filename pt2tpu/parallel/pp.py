@@ -120,12 +120,14 @@ def make_pp_forward_fn(
 
         _, outs = jax.lax.fori_loop(0, T, step, (buf, outs))
         h = outs.reshape(B, L, -1)
-        logits = dec.unembed(cfg, params_, h)
-        # Broadcast the last stage's logits to every stage (masked psum).
-        logits = jax.lax.psum(
-            jnp.where(sid == S - 1, logits, jnp.zeros_like(logits)), axis
+        # Broadcast the last stage's HIDDEN states (masked psum of (B,L,D)),
+        # then unembed the same broadcast h on every stage — vocab/dim
+        # (~50x for real checkpoints) less interconnect traffic than
+        # all-reducing the logits.
+        h = jax.lax.psum(
+            jnp.where(sid == S - 1, h, jnp.zeros_like(h)), axis
         )
-        return logits
+        return dec.unembed(cfg, params_, h)
 
     return jax.jit(
         jax.shard_map(

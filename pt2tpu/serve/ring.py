@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import decoder as dec
-from .kvcache import KVCache, KVLayerView, init_cache
+from .kvcache import KVCache, KVLayerView
 
 __all__ = ["RingCaches", "init_ring_caches", "ring_generate"]
 
@@ -74,10 +74,13 @@ def init_ring_caches(
     W = min(cfg.sliding_window or max_len, max_len)
 
     def make(n, m):
-        c = init_cache(cfg, batch, m)
+        # Shapes computed directly — going through init_cache would eagerly
+        # materialize the full (n_layers, B, max_len, ...) flat cache, the
+        # exact allocation the ring exists to avoid.
+        shape = (n, batch, m, cfg.kv_heads, cfg.hd)
         return KVCache(
-            k=jnp.zeros((n,) + c.k.shape[1:], c.k.dtype),
-            v=jnp.zeros((n,) + c.v.shape[1:], c.v.dtype),
+            k=jnp.zeros(shape, jnp.bfloat16),
+            v=jnp.zeros(shape, jnp.bfloat16),
             k_scale=None,
             v_scale=None,
             length=jnp.int32(0),
@@ -174,8 +177,13 @@ def ring_generate(
             return g, r
 
         def wr_ring(g, r):
-            rk = _ring_write_prefill(r.k[0], kv.k)
-            rv = _ring_write_prefill(r.v[0], kv.v)
+            # zeros base, NOT r.k[0]: for Lp < W the scatter fills only
+            # slots [0, Lp) and the base leaks through in the rest — using
+            # another layer's buffer there would plant foreign KV that only
+            # the current kv_valid gating keeps un-attended.
+            zk = jnp.zeros_like(r.k[0])
+            rk = _ring_write_prefill(zk, kv.k)
+            rv = _ring_write_prefill(jnp.zeros_like(r.v[0]), kv.v)
             r = dataclasses.replace(
                 r,
                 k=jax.lax.dynamic_update_slice(

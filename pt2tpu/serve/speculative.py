@@ -83,7 +83,11 @@ def _spec_generate(
             carry
         )
 
-        # --- draft k tokens greedily, writing positions [c, c+k).
+        # --- draft k tokens greedily. k+1 steps, not k: the extra step
+        # feeds d_{k-1} at position c+k so a fully-accepted round leaves no
+        # hole in the draft cache (an unwritten slot is a zero key/value
+        # every later step would attend — measured 0.70 acceptance where a
+        # perfect draft should reach 1.0). Its output is unused.
         def d_step(dc, i):
             d_cache, tok = dc
             lg, d_cache = forward_cached(
@@ -93,8 +97,9 @@ def _spec_generate(
             return (d_cache, nxt), nxt
 
         (d_cache, _), drafts = jax.lax.scan(
-            d_step, (d_cache, t_last), jnp.arange(k)
-        )  # drafts: (k,)
+            d_step, (d_cache, t_last), jnp.arange(k + 1)
+        )
+        drafts = drafts[:k]  # (k,)
 
         # --- verify: target forward over [t_last, drafts) at [c, c+k].
         toks = jnp.concatenate([t_last[None], drafts])[None, :]  # (1, k+1)

@@ -105,3 +105,13 @@ def test_model_type_inference():
     assert get_model_type("bigscience/bloom-560m") == "bloom"
     assert get_model_type("openai-community/gpt2-xl") == "gpt2"
     assert get_model_type("mystery-model") == "llama"
+
+
+def test_gemma_version_classification():
+    """'gemma-2b' is gemma v1 (2B size), not gemma2 (ref model.py:267-290
+    has the same trap)."""
+    assert get_model_type("google/gemma-2b") == "gemma"
+    assert get_model_type("gemma-7b-it") == "gemma"
+    assert get_model_type("google/gemma-2-9b") == "gemma2"
+    assert get_model_type("google/gemma-2-2b-it") == "gemma2"
+    assert get_model_type("gemma-3-4b-it") == "gemma3"

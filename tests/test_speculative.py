@@ -49,8 +49,11 @@ def test_speculative_perfect_draft(rng):
         cfg_t, params_t, cfg_t, params_t, prompt, max_new=9, k=4, max_len=64
     )
     np.testing.assert_array_equal(np.asarray(got), want)
-    assert stats.acceptance_rate >= 0.75
-    assert stats.rounds <= 3  # vs 8 single-token steps without drafting
+    # the k+1th draft step keeps the draft cache hole-free across fully
+    # accepted rounds, so a perfect draft should accept ~everything (only
+    # cross-program float-reduction argmax ties can break a match)
+    assert stats.acceptance_rate >= 0.95
+    assert stats.rounds <= 2  # vs 8 single-token steps without drafting
 
 
 def test_speculative_sliding_family(rng):
