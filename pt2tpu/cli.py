@@ -197,6 +197,20 @@ def cmd_generate(args):
             print(",".join(map(str, ids_out)))
         return
 
+    if args.ring_kv:
+        if args.temperature > 0:
+            raise SystemExit("--ring-kv is greedy-only for now")
+        from .serve.ring import ring_generate
+
+        out = ring_generate(
+            cfg, params, prompt, max_new=args.max_new,
+            max_len=min(cfg.max_seq_len, prompt.shape[1] + args.max_new),
+            impl="a8" if args.a8 else "auto",
+        )
+        ids_out = np.asarray(out)[0].tolist()
+        print(tok.decode(ids_out) if tok else ",".join(map(str, ids_out)))
+        return
+
     scfg = SamplingConfig(
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p
     )
@@ -298,6 +312,9 @@ def build_parser():
     g.add_argument("--prompt-ids", default=None)
     g.add_argument("--max-new", type=int, default=64)
     g.add_argument("--kv-int8", action="store_true")
+    g.add_argument("--ring-kv", action="store_true",
+                   help="window-sized ring KV caches on sliding layers "
+                        "(gemma2/3; greedy only, exact)")
     g.add_argument("--a8", action="store_true",
                    help="W2A8: int8 activations in the fused TPU kernels")
     g.add_argument("--temperature", type=float, default=0.0)
