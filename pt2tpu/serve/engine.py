@@ -172,13 +172,18 @@ class ServeEngine:
         prefill_fn=None,
         decode_fn=None,
         kv_heads: Optional[int] = None,
+        cache_factory=None,
     ):
         """``prefill_fn``/``decode_fn`` override the default jitted programs
         with strategy-specific ones sharing the same contracts — e.g.
         ``parallel.tp.make_tp_engine_fns`` for manual tensor parallelism
-        (head-sharded pool cache, shard-local kernels). ``kv_heads``
-        overrides the pool's kv-head count (unused by the TP fns, which
-        shard the standard pool)."""
+        (head-sharded pool cache, shard-local kernels) or
+        ``serve.ring.make_ring_engine_fns`` (window-sized ring pools on
+        sliding layers). ``kv_heads`` overrides the pool's kv-head count
+        (unused by the TP fns, which shard the standard pool);
+        ``cache_factory(cfg, max_batch, max_len)`` replaces the pool
+        entirely — the engine treats the cache as opaque state threaded
+        through the prefill/decode fns."""
         self.cfg = cfg
         self.params = params
         self.B = max_batch
@@ -186,8 +191,13 @@ class ServeEngine:
         self.impl = impl
         self._prefill_fn = prefill_fn or _prefill_into_slot
         self._decode_fn = decode_fn or _decode_step
-        cache_cfg = cfg if kv_heads is None else cfg.with_(n_kv_heads=kv_heads)
-        self.cache = init_cache(cache_cfg, max_batch, max_len, quantized=kv_quant)
+        if cache_factory is not None:
+            self.cache = cache_factory(cfg, max_batch, max_len)
+        else:
+            cache_cfg = cfg if kv_heads is None else cfg.with_(n_kv_heads=kv_heads)
+            self.cache = init_cache(
+                cache_cfg, max_batch, max_len, quantized=kv_quant
+            )
         self.queue: List[Request] = []
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.positions = np.zeros(max_batch, np.int32)  # next write position

@@ -16,8 +16,10 @@ like the flat cache. The decode scan dispatches per layer with
 stack; sliding layers: ``window`` ring stack); the branch index map is
 static (``cfg.globals_list()``), only the cond predicate is traced.
 
-Lockstep (shared-position) generation only — the continuous-batching
-engine keeps the flat pool cache for now.
+``ring_generate`` is the lockstep path; ``make_ring_engine_fns`` plugs the
+same split pools into the continuous-batching engine (per-row ring
+positions, per-slot prefill scatter that handles prompts longer than the
+window).
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ import numpy as np
 from ..models import decoder as dec
 from .kvcache import KVCache, KVLayerView
 
-__all__ = ["RingCaches", "init_ring_caches", "ring_generate"]
+__all__ = ["RingCaches", "init_ring_caches", "ring_generate", "make_ring_engine_fns"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -284,3 +286,172 @@ def ring_generate(
         length=max_new - 1,
     )
     return jnp.concatenate([tok0[:, None], rest.T], axis=1)
+
+
+# ------------------------------------------------- engine integration ----
+@functools.partial(jax.jit, static_argnames=("cfg", "impl"))
+def _ring_decode_step(cfg, params, tokens, caches, positions, active,
+                      impl="auto"):
+    """Per-row decode over split pools (ServeEngine decode_fn contract):
+    sliding layers write/attend their window ring, globals the full pool."""
+    B = tokens.shape[0]
+    M = caches.glob.k.shape[2]
+    W = caches.ring.k.shape[2]
+    gl, kind_idx = _kind_maps(cfg)
+    gl_arr, kidx = jnp.asarray(gl), jnp.asarray(kind_idx)
+    cfg_plain = cfg.with_(sliding_window=0, layer_globals=None)
+
+    x = dec.embed_tokens_per_row(cfg, params, tokens, positions)
+    cos_all, sin_all, cosl_all, sinl_all = dec.pos_tables(cfg, max(M, W))
+    cos_g = jnp.take(cos_all, positions, axis=0)[:, None]
+    sin_g = jnp.take(sin_all, positions, axis=0)[:, None]
+    cos_l = cos_g if cosl_all is None else jnp.take(
+        cosl_all, positions, axis=0
+    )[:, None]
+    sin_l = sin_g if sinl_all is None else jnp.take(
+        sinl_all, positions, axis=0
+    )[:, None]
+    kv_valid_g = jnp.arange(M)[None, :] <= positions[:, None]
+    kv_valid_r = jnp.arange(W)[None, :] <= positions[:, None]
+
+    def body(carry, li):
+        h, glob, ring = carry
+        lp = dec.layer_view(params["layers"], li)
+        ki = kidx[li]
+
+        def upd(stack, nk, k_idx):
+            return dataclasses.replace(
+                stack,
+                k=jax.lax.dynamic_update_slice(
+                    stack.k, nk.k[None], (k_idx, 0, 0, 0, 0)
+                ),
+                v=jax.lax.dynamic_update_slice(
+                    stack.v, nk.v[None], (k_idx, 0, 0, 0, 0)
+                ),
+            )
+
+        def run_glob(h, glob, ring):
+            y, io = dec.layer_forward(
+                cfg_plain, lp, h, cos_g, sin_g, None, cache=glob.layer(ki),
+                cache_pos=positions, kv_valid=kv_valid_g, impl=impl,
+                layer_idx=li,
+            )
+            return y, upd(glob, io.kv, ki), ring
+
+        def run_ring(h, glob, ring):
+            y, io = dec.layer_forward(
+                cfg_plain, lp, h, cos_l, sin_l, None, cache=ring.layer(ki),
+                cache_pos=positions % W, kv_valid=kv_valid_r, impl=impl,
+                layer_idx=li,
+            )
+            return y, glob, upd(ring, io.kv, ki)
+
+        if caches.ring.k.shape[0] == 0:
+            h, glob, ring = run_glob(h, glob, ring)
+        elif caches.glob.k.shape[0] == 0:
+            h, glob, ring = run_ring(h, glob, ring)
+        else:
+            h, glob, ring = jax.lax.cond(
+                gl_arr[li], run_glob, run_ring, h, glob, ring
+            )
+        return (h, glob, ring), None
+
+    (h, glob, ring), _ = jax.lax.scan(
+        body, (x, caches.glob, caches.ring), jnp.arange(cfg.n_layers)
+    )
+    logits = dec.unembed(cfg, params, h)[:, 0]
+    nxt = jnp.where(active, jnp.argmax(logits, axis=-1).astype(jnp.int32), 0)
+    return nxt, RingCaches(glob=glob, ring=ring)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "slot", "impl"))
+def _ring_prefill_into_slot(cfg, params, prompt, true_len, caches, slot,
+                            impl="auto"):
+    """Prefill one padded (1, Lb) prompt on a temp flat cache, then scatter
+    per layer kind: globals take rows [0, M); sliding layers take the ring
+    gather slot s <- position t-1-((t-1-s) mod W) (pads at >= t are never
+    selected, so prompts longer than the window wrap correctly)."""
+    from .kvcache import init_cache as _init_flat
+
+    M = caches.glob.k.shape[2]
+    W = caches.ring.k.shape[2]
+    gl, kind_idx = _kind_maps(cfg)
+    Lb = prompt.shape[1]
+    tmp = _init_flat(cfg, 1, M)
+
+    h = dec.embed_tokens(cfg, params, prompt)
+    cos_all, sin_all, cosl_all, sinl_all = dec.pos_tables(cfg, M)
+    cos, sin = cos_all[:Lb], sin_all[:Lb]
+    cos_l = None if cosl_all is None else cosl_all[:Lb]
+    sin_l = None if sinl_all is None else sinl_all[:Lb]
+    mask = dec.build_mask(cfg, Lb, M)
+    views = KVLayerView(k=tmp.k, v=tmp.v, k_scale=None, v_scale=None)
+
+    def body(x, xs):
+        li, kvl = xs
+        lp = dec.layer_view(params["layers"], li)
+        y, io = dec.layer_forward(
+            cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=0, impl=impl,
+            layer_idx=li, cos_loc=cos_l, sin_loc=sin_l,
+        )
+        return y, io.kv
+
+    h, new_views = jax.lax.scan(body, h, (jnp.arange(cfg.n_layers), views))
+    h_last = jax.lax.dynamic_slice_in_dim(h, true_len - 1, 1, axis=1)
+    logits = dec.unembed(cfg, params, h_last)[:, 0]
+
+    # ring gather indices: slot s <- newest position ≡ s (mod W) below t
+    t = true_len
+    s_idx = jnp.arange(W)
+    p = (t - 1) - ((t - 1 - s_idx) % W)  # (W,) positions, may be < 0
+    valid = (p >= 0)[:, None, None]  # (W, 1, 1) over (W, Hkv, hd) rows
+    pc = jnp.clip(p, 0, M - 1)
+
+    glob, ring = caches.glob, caches.ring
+    for li, g in enumerate(gl):  # static pattern: no cond needed
+        ki = int(kind_idx[li])
+        if g:
+            glob = dataclasses.replace(
+                glob,
+                k=glob.k.at[ki, slot].set(new_views.k[li, 0]),
+                v=glob.v.at[ki, slot].set(new_views.v[li, 0]),
+            )
+        else:
+            rk = jnp.where(valid, new_views.k[li, 0][pc], 0)
+            rv = jnp.where(valid, new_views.v[li, 0][pc], 0)
+            ring = dataclasses.replace(
+                ring,
+                k=ring.k.at[ki, slot].set(rk),
+                v=ring.v.at[ki, slot].set(rv),
+            )
+    return (
+        jnp.argmax(logits[0]).astype(jnp.int32),
+        RingCaches(glob=glob, ring=ring),
+    )
+
+
+def make_ring_engine_fns(cfg: dec.ModelConfig, impl: str = "auto"):
+    """(prefill_fn, decode_fn, cache_factory) for serve.ServeEngine:
+    continuous batching with window-sized ring pools on sliding layers.
+
+    Usage::
+
+        pf, df, factory = make_ring_engine_fns(cfg)
+        eng = ServeEngine(cfg, params, prefill_fn=pf, decode_fn=df,
+                          cache_factory=factory)
+    """
+
+    def prefill_fn(cfg_, params_, prompt, true_len, caches, slot, impl_=None):
+        return _ring_prefill_into_slot(
+            cfg, params_, prompt, jnp.int32(true_len), caches, slot, impl
+        )
+
+    def decode_fn(cfg_, params_, tokens, caches, positions, active, impl_=None):
+        return _ring_decode_step(
+            cfg, params_, tokens, caches, positions, active, impl
+        )
+
+    def cache_factory(cfg_, max_batch, max_len):
+        return init_ring_caches(cfg_, max_batch, max_len)
+
+    return prefill_fn, decode_fn, cache_factory

@@ -115,3 +115,33 @@ def test_gemma_version_classification():
     assert get_model_type("google/gemma-2-9b") == "gemma2"
     assert get_model_type("google/gemma-2-2b-it") == "gemma2"
     assert get_model_type("gemma-3-4b-it") == "gemma3"
+
+
+def test_gemma3_multimodal_text_config(tmp_path):
+    """Multimodal gemma3 config.json wraps the LM under text_config; the
+    loader must quantize/serve the text model (ref model.py:143-151 walks
+    language_model.layers for the same reason)."""
+    import json
+
+    from pt2tpu.models.hf_loader import config_from_hf
+
+    hc = {
+        "architectures": ["Gemma3ForConditionalGeneration"],
+        "model_type": "gemma3",
+        "text_config": {
+            "model_type": "gemma3_text", "vocab_size": 99, "hidden_size": 32,
+            "num_hidden_layers": 4, "num_attention_heads": 4,
+            "num_key_value_heads": 2, "head_dim": 8,
+            "intermediate_size": 64, "max_position_embeddings": 64,
+            "sliding_window": 4, "sliding_window_pattern": 2,
+            "rope_theta": 1000000.0, "rope_local_base_freq": 10000.0,
+            "query_pre_attn_scalar": 8,
+        },
+    }
+    d = tmp_path / "mm"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(hc))
+    cfg = config_from_hf(str(d))
+    assert cfg.family == "gemma3" and cfg.n_layers == 4
+    assert cfg.sliding_window == 4 and cfg.qk_norm and cfg.sandwich_norm
+    assert cfg.layer_globals == (False, True, False, True)

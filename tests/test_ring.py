@@ -60,3 +60,58 @@ def test_ring_cache_memory_shape():
     caches = init_ring_caches(cfg, batch=2, max_len=96)
     assert caches.ring.k.shape[:3] == (2, 2, 16)  # window-sized
     assert caches.glob.k.shape[:3] == (2, 2, 96)  # full-length
+
+
+def test_ring_engine_matches_default(rng):
+    """Continuous-batching engine with ring pools == default flat-pool
+    engine, including a prompt longer than the window (ring gather wrap)."""
+    from pt2tpu.serve.engine import ServeEngine
+    from pt2tpu.serve.ring import make_ring_engine_fns
+
+    cfg = get_config("tiny-gemma3")  # W=16
+    params = dec.init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, size=l).astype(np.int32)
+        for l in (3, 23, 9, 5)  # 23 > W: prefill wrap
+    ]
+    max_news = [6, 5, 7, 4]
+
+    def run(engine):
+        reqs = [engine.submit(p, m) for p, m in zip(prompts, max_news)]
+        engine.run(max_steps=200)
+        return [r.out for r in reqs]
+
+    want = run(ServeEngine(cfg, params, max_batch=2, max_len=64, impl="xla"))
+    pf, df, factory = make_ring_engine_fns(cfg, impl="xla")
+    got = run(
+        ServeEngine(
+            cfg, params, max_batch=2, max_len=64, impl="xla",
+            prefill_fn=pf, decode_fn=df, cache_factory=factory,
+        )
+    )
+    assert got == want
+
+
+def test_ring_engine_plain_model(rng):
+    """Non-sliding config through the ring engine fns: all-global path."""
+    from pt2tpu.serve.engine import ServeEngine
+    from pt2tpu.serve.ring import make_ring_engine_fns
+
+    cfg = get_config("tiny-llama")
+    params = dec.init_params(cfg, jax.random.PRNGKey(6), dtype=jnp.float32)
+    p = rng.integers(0, cfg.vocab_size, size=5).astype(np.int32)
+
+    def run(engine):
+        r = engine.submit(p, 6)
+        engine.run(max_steps=50)
+        return r.out
+
+    want = run(ServeEngine(cfg, params, max_batch=1, max_len=64, impl="xla"))
+    pf, df, factory = make_ring_engine_fns(cfg, impl="xla")
+    got = run(
+        ServeEngine(
+            cfg, params, max_batch=1, max_len=64, impl="xla",
+            prefill_fn=pf, decode_fn=df, cache_factory=factory,
+        )
+    )
+    assert got == want
