@@ -45,6 +45,36 @@ def make_kernel(variant: str, bps: int):
             offset = (mu_ref[:] - alpha_ref[:]).astype(cdt)
             acc += jnp.dot(smat.astype(cdt), offset, preferred_element_type=jnp.float32)
 
+        if variant in ("swpipe", "swpipe_nomask"):
+            u_prev = None
+            for p in range(bps + 1):
+                if u_prev is not None:
+                    xb_prev = xs[:, (p - 1) * BS : p * BS]
+                    if variant == "swpipe_nomask":
+                        B_ = xs.shape[0]
+                        xb2 = jnp.concatenate(
+                            [jnp.zeros((B_, BS4), cdt),
+                             xb_prev[:, : BS - BS4]], axis=1)
+                        x_op = jnp.concatenate([xb_prev, -4.0 * xb2], axis=0)
+                        d2 = jnp.dot(x_op, u_prev,
+                                     preferred_element_type=jnp.float32)
+                        d = d2[:B_] + d2[B_:]
+                    else:
+                        d = jnp.dot(xb_prev, u_prev,
+                                    preferred_element_type=jnp.float32)
+                    acc += d * alpha_ref[p - 1 : p, :].astype(jnp.float32)
+                if p < bps:
+                    pk = packed_ref[p * rpb : (p + 1) * rpb, :]
+                    if variant == "swpipe_nomask":
+                        pkw = pltpu.bitcast(pk, jnp.uint8).astype(jnp.int32)
+                        planes = [(pkw >> (2 * q)) for q in range(4)]
+                    else:
+                        pk32 = pk.astype(jnp.int32)
+                        planes = [((pk32 >> (2 * q)) & 3) for q in range(4)]
+                    u_prev = jnp.concatenate(planes, axis=0).astype(cdt)
+            o_ref[:] += acc
+            return
+
         for p in range(bps):
             pk = packed_ref[p * rpb : (p + 1) * rpb, :]
             xb = xs[:, p * BS : (p + 1) * BS]
@@ -195,6 +225,11 @@ def make_kernel(variant: str, bps: int):
                 )
                 xt = (xb.astype(jnp.float32) - 4.0 * xb2).astype(cdt)
                 d = jnp.dot(xt, u, preferred_element_type=jnp.float32)
+            elif variant in ("swpipe", "swpipe_nomask"):
+                # Software-pipelined probe: the dot consumes the PREVIOUS
+                # iteration's unpacked block, so unpack(p) and dot(p-1) are
+                # dependency-free and may overlap (VPU vs MXU). Same math.
+                pass  # handled outside the per-p dispatch (needs loop state)
             elif variant == "bf16_floors":
                 # All-bf16 field extraction, single dot: signed cast, prefix
                 # planes p_q = floor(b/4^q), fields f_q = p_q - 4 p_{q+1};
@@ -441,6 +476,8 @@ def main():
 
     exact = {
         "nomask_2dot": packed,
+        "swpipe": packed,
+        "swpipe_nomask": packed,
     }
     ref = run_variant(x0, packed, alpha, mu, variant="baseline")
     for v, pk in exact.items():
@@ -463,7 +500,8 @@ def main():
     timed = [
         ("baseline", packed),
         ("nomask_2dot", packed),
-        ("nomask_a8", packed),
+        ("swpipe", packed),
+        ("swpipe_nomask", packed),
         ("int8_dot", packed),
         ("no_unpack", packed),
     ]
