@@ -200,6 +200,11 @@ def cmd_generate(args):
     if args.ring_kv:
         if args.temperature > 0:
             raise SystemExit("--ring-kv is greedy-only for now")
+        if args.kv_int8:
+            raise SystemExit(
+                "--ring-kv caches are bf16; combine with --kv-int8 is not "
+                "supported (drop one of the flags)"
+            )
         from .serve.ring import ring_generate
 
         out = ring_generate(

@@ -306,15 +306,27 @@ def atq_quantize(
          ``X is None`` branch at quantizer.py:274-275).
       mask: optional (m,) column-validity mask for padded blocks.
       aga_mode: "exact" (true normal equations, default — see
-         :func:`aga_exact`) or "reference" (the reference's approximate
-         closed form, for parity testing).
+         :func:`aga_exact`), "reference" (the reference's approximate
+         closed form with S consumed as the covariance — the *intended*
+         math, SURVEY.md §2.4-5), or "reference_quirk" (additionally
+         reproduces ref gptq.py:147-150, which feeds the Hessian submatrix
+         to AGA *as if it were activations* so the covariance it actually
+         uses is S^T S = S^2 — only for bit-parity tests against the
+         reference implementation, tests/test_reference_parity.py).
     """
     W = W.astype(jnp.float32)
     alpha, mu, T = ternary_init(W, mask)
     alpha, mu, T = itf(W, alpha, mu, T, mask, max_iter=max_iter)
     if use_aga and S is not None:
-        fn = aga_exact if aga_mode == "exact" else aga
-        alpha, mu = fn(W, T, S.astype(jnp.float32), mask, fallback=(alpha, mu))
+        S32 = S.astype(jnp.float32)
+        if aga_mode == "reference_quirk":
+            msk = _mask_or_ones(W, mask)
+            Sm = S32 * msk[None, :] * msk[:, None]
+            S32 = Sm.T @ Sm
+            fn = aga
+        else:
+            fn = aga_exact if aga_mode == "exact" else aga
+        alpha, mu = fn(W, T, S32, mask, fallback=(alpha, mu))
     return ATQResult(alpha=alpha, mu=mu, T=T)
 
 

@@ -102,8 +102,9 @@ def _pick_tiles(n: int, nb: int, bs: int, Bp: int, want_tn: int, want_bps: int):
     return tn, bps
 
 
-def _make_kernel(bps: int, bs: int, a8: bool = False):
+def _make_kernel(bps: int, bs: int, a8: bool = False, telescope=None):
     bs4 = bs // 4
+    force_telescope = telescope
 
     def _kernel(x_ref, packed_ref, alpha_ref, mu_ref, o_ref):
         j = pl.program_id(2)  # k-step (innermost)
@@ -159,7 +160,18 @@ def _make_kernel(bps: int, bs: int, a8: bool = False):
         # stack into one bf16 x~ operand, whose rounding is amplified by
         # the 0..255 plane magnitudes). At prefill row tiles (B > 64) the
         # doubled dot rows are real FLOPs — keep the masked path there.
-        telescope = (not a8) and B <= 64
+        # The identity is algebraically exact but NOT bit-equal to the
+        # masked path (raw planes reach 255, inflating f32 partial sums
+        # ~85x, and the final d2[:B]+d2[B:] adds a rounding site): measured
+        # on-chip max 2.5e-6 relative (1-2 f32 ulps) at llama-7b projection
+        # shapes. The 1e-5 contract is pinned by tests/test_ternary_matmul
+        # ::test_telescoped_exact_vs_masked (interpret) and scripts/
+        # tpu_smoke.py (on-chip); re-verify if tile shapes change.
+        # ``force_telescope`` exists for those checks.
+        if force_telescope is None:
+            telescope = (not a8) and B <= 64
+        else:
+            telescope = force_telescope and not a8
         for p in range(bps):  # static unroll; all slices compile-time aligned
             xb = xs[:, p * bs : (p + 1) * bs]  # (B, bs)
             if telescope:
@@ -301,7 +313,10 @@ def ternary_matmul_pallas_stacked(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_size", "tile_n", "blocks_per_step", "a8")
+    jax.jit,
+    static_argnames=(
+        "block_size", "tile_n", "blocks_per_step", "a8", "_telescope"
+    ),
 )
 def ternary_matmul_pallas(
     x: jax.Array,
@@ -313,6 +328,7 @@ def ternary_matmul_pallas(
     tile_n: int = 4096,
     blocks_per_step: int = 16,
     a8: bool = False,
+    _telescope=None,
 ) -> jax.Array:
     """out = x @ dequant(packed, alpha, mu); (B, K) x (K//4, n) -> (B, n) f32.
 
@@ -346,7 +362,7 @@ def ternary_matmul_pallas(
 
     grid = (Bp // tb, n // tn, nb // bps)
     out = pl.pallas_call(
-        _make_kernel(bps, bs, a8),
+        _make_kernel(bps, bs, a8, telescope=_telescope),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

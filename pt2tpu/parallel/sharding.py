@@ -180,7 +180,8 @@ def seq_sharding(mesh: Mesh, ndim: int = 2, axis: str = "data") -> NamedSharding
 def sp_forward(cfg, params, tokens: jax.Array, mesh: Mesh, impl: str = "xla"):
     """Context-parallel full causal forward to logits (B, L, V).
 
-    ``tokens``' L dim must divide the mesh's 'data' axis. Combine with
+    ``tokens``' L dim must be divisible by the mesh's 'data' axis size.
+    Combine with
     model-sharded params (``shard_params``) for 2-D (sequence x tensor)
     parallel prefill."""
     import functools

@@ -192,6 +192,12 @@ class ServeEngine:
         self._prefill_fn = prefill_fn or _prefill_into_slot
         self._decode_fn = decode_fn or _decode_step
         if cache_factory is not None:
+            if kv_quant or kv_heads is not None:
+                raise ValueError(
+                    "cache_factory replaces the KV pool entirely; kv_quant/"
+                    "kv_heads would be silently ignored — thread them into "
+                    "the factory instead"
+                )
             self.cache = cache_factory(cfg, max_batch, max_len)
         else:
             cache_cfg = cfg if kv_heads is None else cfg.with_(n_kv_heads=kv_heads)

@@ -15,6 +15,8 @@ from pt2tpu.models import get_config
 from pt2tpu.utils.checkpoint import load_layers, load_model, save_layer, save_model
 from pt2tpu.utils.randmodel import random_ternary_params
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 def test_artifact_roundtrip_ternary(tmp_path):
     cfg = get_config("tiny-llama")

@@ -14,6 +14,8 @@ from pt2tpu.serve import greedy_generate
 from pt2tpu.serve.engine import ServeEngine
 from pt2tpu.utils.debug import assert_finite_tree, nan_debug
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 def test_assert_finite_tree_catches_nan():
     good = {"a": jnp.ones(3), "b": {"c": jnp.zeros(2)}}

@@ -11,6 +11,8 @@ from pt2tpu.models import get_config
 from pt2tpu.serve import greedy_generate
 from pt2tpu.serve.engine import ServeEngine
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 @pytest.fixture(params=["tiny-llama", "tiny-opt", "tiny-gemma3"])
 def model(request):

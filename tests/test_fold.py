@@ -23,6 +23,8 @@ from pt2tpu.quant.fold import fold_layer_perms, foldable_prefix_perm, permute_ou
 from pt2tpu.quant.pipeline import QuantConfig, quantize_model
 from pt2tpu.utils.randmodel import random_ternary_linear
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 TINY = dec.ModelConfig(
     family="llama",

@@ -19,6 +19,8 @@ transformers = pytest.importorskip("transformers")
 from pt2tpu.models import decoder as dec
 from pt2tpu.models.hf_loader import load_hf_model
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 def _save(tmp_path, model):
     d = str(tmp_path / "ckpt")

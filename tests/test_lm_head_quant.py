@@ -8,6 +8,8 @@ from pt2tpu.models import decoder as dec
 from pt2tpu.ops.ternary_matmul import PackedTernaryLinear
 from pt2tpu.quant.pipeline import QuantConfig, quantize_model
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 CFG = dec.ModelConfig(
     family="llama",
     vocab_size=256,

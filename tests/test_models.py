@@ -9,6 +9,8 @@ from pt2tpu.models import decoder as dec
 from pt2tpu.models import get_config
 from pt2tpu.models.registry import get_model_type
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 @pytest.fixture(params=["tiny-llama", "tiny-llama-gqa", "tiny-opt", "tiny-gpt2", "tiny-gemma", "tiny-bloom", "tiny-qwen3", "tiny-gemma3"])
 def model(request):

@@ -13,6 +13,8 @@ from pt2tpu.parallel.mesh import auto_mesh, make_mesh
 from pt2tpu.parallel.sharding import batch_sharding, param_shardings, shard_params
 from pt2tpu.utils.randmodel import random_ternary_params
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 def test_mesh_construction():
     mesh = make_mesh({"data": 2, "model": 4})

@@ -13,6 +13,8 @@ from pt2tpu.ops.ternary_matmul import PackedTernaryLinear
 from pt2tpu.quant import QuantConfig, quantize_model
 from pt2tpu.utils.metrics import model_bits_per_weight
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 @pytest.fixture(scope="module")
 def quantized_tiny():

@@ -12,6 +12,8 @@ from pt2tpu.models import get_config
 from pt2tpu.quant import QuantConfig, quantize_model
 from pt2tpu.serve import greedy_generate
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 @pytest.mark.parametrize(
     "name", ["tiny-llama-gqa", "tiny-opt", "tiny-gpt2", "tiny-gemma",

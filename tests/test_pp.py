@@ -16,6 +16,8 @@ from pt2tpu.parallel.mesh import make_mesh
 from pt2tpu.parallel.pp import pp_forward
 from pt2tpu.utils.randmodel import random_ternary_params
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 @pytest.mark.parametrize("stages,n_micro", [(2, 2), (4, 2), (4, 4), (2, 1)])
 def test_pp_matches_forward_dense(rng, stages, n_micro):

@@ -13,6 +13,8 @@ from pt2tpu.serve import greedy_generate
 from pt2tpu.serve.ring import init_ring_caches, ring_generate
 from pt2tpu.utils.randmodel import random_ternary_params
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 def _check(cfg, params, rng, Lp, max_new, max_len=96):
     prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, Lp)), jnp.int32)

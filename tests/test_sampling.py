@@ -10,6 +10,8 @@ from pt2tpu.models import decoder as dec
 from pt2tpu.models import get_config
 from pt2tpu.serve import SamplingConfig, generate, greedy_generate, sample
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 def test_greedy_config_matches_argmax(rng):
     logits = jnp.asarray(rng.normal(size=(4, 50)).astype(np.float32))

@@ -11,6 +11,8 @@ from pt2tpu.models import get_config
 from pt2tpu.serve import greedy_generate, init_cache, prefill, forward_cached
 from pt2tpu.serve.kvcache import _quantize_i8
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 @pytest.fixture(params=["tiny-llama", "tiny-llama-gqa", "tiny-opt", "tiny-bloom"])
 def model(request):

@@ -14,6 +14,8 @@ from pt2tpu.models import get_config
 from pt2tpu.serve import greedy_generate
 from pt2tpu.serve.server import ServingServer
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 def _post(port, path, obj):
     req = urllib.request.Request(

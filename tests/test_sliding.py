@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from pt2tpu.models import decoder as dec
 from pt2tpu.models.registry import get_config
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 def _one_layer_cfg(window: int, is_global: bool):
     base = get_config("tiny-llama")

@@ -11,6 +11,8 @@ from pt2tpu.models import get_config
 from pt2tpu.serve import greedy_generate
 from pt2tpu.serve.speculative import speculative_generate
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 def _models():
     cfg_t = get_config("tiny-llama")

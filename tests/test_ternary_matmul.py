@@ -122,3 +122,29 @@ def test_pallas_a8_close_to_xla(rng):
     denom = float(jnp.max(jnp.abs(want))) + 1e-9
     rel = float(jnp.max(jnp.abs(got - want))) / denom
     assert rel < 0.02, rel
+
+
+def test_telescoped_exact_vs_masked(rng):
+    """ADVICE r1: the telescoped unpack's exactness vs the masked path is
+    empirical (raw planes reach 255 vs 3; the d2[:B]+d2[B:] fold adds a
+    rounding site) — pin the two paths together at the production decode
+    row tile (B=16) so a future tile-shape change can't silently break the
+    contract. In interpret mode the operands stay f32 and dot accumulation
+    order differs, so the documented contract HERE is <= 1e-4 relative;
+    scripts/tpu_smoke.py asserts bit-equality on-chip (bf16 operands make
+    every product exact) at llama-7b projection shapes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, packed, alpha, mu = _rand_packed(rng, n=512, K=512)
+    x = jnp.asarray(rng.normal(size=(16, 512)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        masked = ternary_matmul_pallas(
+            x, packed, alpha, mu, tile_n=512, _telescope=False
+        )
+        tele = ternary_matmul_pallas(
+            x, packed, alpha, mu, tile_n=512, _telescope=True
+        )
+    m = np.asarray(masked)
+    t = np.asarray(tele)
+    rel = np.max(np.abs(t - m)) / max(1e-9, float(np.max(np.abs(m))))
+    assert rel <= 1e-4, f"telescoped vs masked rel err {rel:.2e}"

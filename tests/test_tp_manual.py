@@ -12,6 +12,8 @@ from pt2tpu.parallel.mesh import make_mesh
 from pt2tpu.parallel.tp import make_tp_layer_fn, prepare_tp_layer, tp_row_apply
 from pt2tpu.utils.randmodel import random_ternary_params
 
+pytestmark = __import__('pytest').mark.slow  # XLA-compile-heavy (fast tier: -m 'not slow')
+
 
 @pytest.mark.parametrize("perm_mode", ["identity", "ssr"])
 def test_tp_layer_matches_single_device(rng, perm_mode):
