@@ -158,12 +158,14 @@ def causal_mask(q_len: int, kv_len: int, q_offset: int = 0) -> jax.Array:
 
 def attention(
     q: jax.Array,  # (B, Lq, H, hd)
-    k: jax.Array,  # (B, Lkv, Hkv, hd)
+    k: jax.Array,  # (B, Lkv, Hkv, hd) — bf16, or int8 with k_scale given
     v: jax.Array,  # (B, Lkv, Hkv, hd)
     mask: Optional[jax.Array] = None,  # additive bias, see below
     kv_valid: Optional[jax.Array] = None,  # (B, Lkv) bool for cache slots
     scale: Optional[float] = None,  # None -> 1/sqrt(hd)
     softcap: float = 0.0,  # gemma2 attention logit soft-capping
+    k_scale: Optional[jax.Array] = None,  # (B, Lkv, Hkv, 1) f32 int8-KV scales
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Grouped-query scaled dot-product attention; returns (B, Lq, H, hd).
 
@@ -175,6 +177,14 @@ def attention(
     query_pre_attn_scalar); ``softcap`` > 0 applies
     ``softcap * tanh(scores / softcap)`` before masking (gemma2).
 
+    ``k_scale``/``v_scale`` enable the NATIVE int8-KV path: k/v arrive as
+    raw int8 and the per-(row, position, head) scales fold into the scores
+    (k) and the softmax probs (v) — tiny VPU ops at decode shapes — so the
+    dequantized bf16 cache is never materialized in HBM. (The read-side
+    dequant path cost a full bf16 copy of the cache per step: 2x the int8
+    KV bytes written + read back. The int8->bf16 convert here fuses into
+    the dot operand stream.)
+
     f32 softmax accumulation; GQA expands kv heads by repetition (an einsum
     reshape, so XLA keeps it as one batched matmul on the MXU).
     """
@@ -185,8 +195,12 @@ def attention(
 
     s = jnp.float32(scale) if scale is not None else 1.0 / jnp.sqrt(jnp.float32(hd))
     scores = jnp.einsum(
-        "blhrd,bmhd->bhrlm", qg, k, preferred_element_type=jnp.float32
+        "blhrd,bmhd->bhrlm", qg, k.astype(q.dtype),
+        preferred_element_type=jnp.float32,
     ) * s
+    if k_scale is not None:
+        # (B, M, Hkv, 1) -> (B, Hkv, 1, 1, M) applied to f32 scores.
+        scores = scores * jnp.transpose(k_scale, (0, 2, 3, 1))[:, :, :, None, :]
     if softcap:
         scores = jnp.float32(softcap) * jnp.tanh(scores / jnp.float32(softcap))
     if mask is not None:
@@ -200,8 +214,11 @@ def attention(
     if kv_valid is not None:
         neg = jnp.finfo(jnp.float32).min
         scores = jnp.where(kv_valid[:, None, None, None, :], scores, neg)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhrlm,bmhd->blhrd", probs, v)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        probs = probs * jnp.transpose(v_scale, (0, 2, 3, 1))[:, :, :, None, :]
+    probs = probs.astype(q.dtype)
+    out = jnp.einsum("bhrlm,bmhd->blhrd", probs, v.astype(q.dtype))
     return out.reshape(B, Lq, H, hd)
 
 

@@ -506,11 +506,24 @@ def layer_forward(
             new_kv = cache.write(k, v, cache_pos)
         else:
             new_kv = cache.write_rows(k, v, cache_pos)
-        ck, cv = new_kv.read(q.dtype)
-        ctx = attention(
-            q, ck, cv, mask, kv_valid,
-            scale=cfg.attn_scale, softcap=cfg.attn_softcap,
-        )
+        if (
+            getattr(new_kv, "k_scale", None) is not None
+            and hasattr(new_kv, "read_raw")
+        ):
+            # Native int8-KV: scales fold into scores/probs; no bf16
+            # cache materialization (models.common.attention docstring).
+            ck, cv, kss, vss = new_kv.read_raw()
+            ctx = attention(
+                q, ck, cv, mask, kv_valid,
+                scale=cfg.attn_scale, softcap=cfg.attn_softcap,
+                k_scale=kss, v_scale=vss,
+            )
+        else:
+            ck, cv = new_kv.read(q.dtype)
+            ctx = attention(
+                q, ck, cv, mask, kv_valid,
+                scale=cfg.attn_scale, softcap=cfg.attn_softcap,
+            )
     else:
         ctx = attention(
             q, k, v, mask, scale=cfg.attn_scale, softcap=cfg.attn_softcap

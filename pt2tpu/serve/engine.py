@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import decoder as dec
-from .kvcache import KVCache, KVLayerView, init_cache
+from .kvcache import KVCache, KVStackedView, init_cache
 
 __all__ = ["Request", "ServeEngine"]
 
@@ -83,27 +83,24 @@ def _decode_step(cfg, params, tokens, cache, positions, active, impl="auto"):
             - positions.astype(jnp.float32)[:, None]
         )  # (B, M)
         mask = (slopes[None, :, None, None] * rel[:, None, None, :])  # (B,H,1,M)
-    views = KVLayerView(
-        k=cache.k, v=cache.v, k_scale=cache.k_scale, v_scale=cache.v_scale
-    )
-
-    def body(h, xs):
-        li, kvl = xs
+    def body(carry, li):
+        h, kvt = carry
+        kvl = KVStackedView(*kvt, li)
         lp = dec.layer_view(params["layers"], li)
         y, io = dec.layer_forward(
             cfg, lp, h, cos, sin, mask,
             cache=kvl, cache_pos=positions, kv_valid=kv_valid, impl=impl,
             layer_idx=li, cos_loc=cos_l, sin_loc=sin_l,
         )
-        return y, io.kv
+        return (y, io.kv.carry()), None
 
-    h, new_views = jax.lax.scan(
-        body, x, (jnp.arange(cfg.n_layers), views)
+    (h, kvt), _ = jax.lax.scan(
+        body, (x, KVStackedView.of(cache, 0).carry()), jnp.arange(cfg.n_layers)
     )
     logits = dec.unembed(cfg, params, h)[:, 0]  # (B, V)
     nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     nxt = jnp.where(active, nxt, 0)
-    new_cache = cache.with_layers(new_views, cache.length)
+    new_cache = KVCache(*kvt, length=cache.length)
     return nxt, new_cache
 
 
@@ -128,19 +125,18 @@ def _prefill_into_slot(cfg, params, prompt, true_len, cache, slot: int, impl="au
     cos_l = None if cosl_all is None else cosl_all[:Lb]
     sin_l = None if sinl_all is None else sinl_all[:Lb]
     mask = dec.build_mask(cfg, Lb, M)
-    views = KVLayerView(k=tmp.k, v=tmp.v, k_scale=tmp.k_scale, v_scale=tmp.v_scale)
-
-    def body(x, xs):
-        li, kvl = xs
+    def body(carry, li):
+        x, kvt = carry
+        kvl = KVStackedView(*kvt, li)
         lp = dec.layer_view(params["layers"], li)
         y, io = dec.layer_forward(
             cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=0, impl=impl,
             layer_idx=li, cos_loc=cos_l, sin_loc=sin_l,
         )
-        return y, io.kv
+        return (y, io.kv.carry()), None
 
-    h, new_views = jax.lax.scan(
-        body, h, (jnp.arange(cfg.n_layers), views)
+    (h, kvt), _ = jax.lax.scan(
+        body, (h, KVStackedView.of(tmp, 0).carry()), jnp.arange(cfg.n_layers)
     )
     h_last = jax.lax.dynamic_slice_in_dim(h, true_len - 1, 1, axis=1)
     logits = dec.unembed(cfg, params, h_last)[:, 0]  # (1, V)
@@ -148,11 +144,12 @@ def _prefill_into_slot(cfg, params, prompt, true_len, cache, slot: int, impl="au
     def put(pool, row):
         return pool.at[:, slot].set(row[:, 0])
 
+    tk, tv, tks, tvs = kvt
     cache = KVCache(
-        k=put(cache.k, new_views.k),
-        v=put(cache.v, new_views.v),
-        k_scale=None if cache.k_scale is None else put(cache.k_scale, new_views.k_scale),
-        v_scale=None if cache.v_scale is None else put(cache.v_scale, new_views.v_scale),
+        k=put(cache.k, tk),
+        v=put(cache.v, tv),
+        k_scale=None if cache.k_scale is None else put(cache.k_scale, tks),
+        v_scale=None if cache.v_scale is None else put(cache.v_scale, tvs),
         length=cache.length,
     )
     return jnp.argmax(logits[0]).astype(jnp.int32), cache

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import decoder as dec
-from .kvcache import KVCache, KVLayerView, init_cache
+from .kvcache import KVCache, KVStackedView, init_cache
 
 __all__ = ["forward_cached", "greedy_generate", "prefill"]
 
@@ -49,28 +49,30 @@ def forward_cached(
         sin_l = jax.lax.dynamic_slice_in_dim(sinl_all, pos0, L)
     mask = dec.build_mask(cfg, L, M, q_offset=pos0)
 
-    views = KVLayerView(
-        k=cache.k, v=cache.v, k_scale=cache.k_scale, v_scale=cache.v_scale
-    )
-
-    def body(x, xs):
-        li, kvl = xs
+    # KV arrays thread through the scan CARRY and are updated in place at
+    # the layer index (see kvcache.KVStackedView — passing per-layer views
+    # through xs/ys copied the whole cache every step, measured ~4 ms/tok
+    # at M=1088 in scripts/decode_budget.py).
+    def body(carry, li):
+        x, kvt = carry
+        kvl = KVStackedView(*kvt, li)
         lp = dec.layer_view(params["layers"], li)
         y, io = dec.layer_forward(
             cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=pos0, impl=impl,
             layer_idx=li, cos_loc=cos_l, sin_loc=sin_l,
         )
-        return y, io.kv
+        return (y, io.kv.carry()), None
 
-    h, new_views = jax.lax.scan(
-        body, h, (jnp.arange(cfg.n_layers), views)
+    (h, kvt), _ = jax.lax.scan(
+        body,
+        (h, KVStackedView.of(cache, 0).carry()),
+        jnp.arange(cfg.n_layers),
     )
+    new_cache = KVCache(*kvt, length=jnp.asarray(pos0 + L, jnp.int32))
     if all_logits:
-        return dec.unembed(cfg, params, h), cache.with_layers(
-            new_views, pos0 + L
-        )
+        return dec.unembed(cfg, params, h), new_cache
     logits = dec.unembed(cfg, params, h[:, -1:, :])[:, 0]
-    return logits, cache.with_layers(new_views, pos0 + L)
+    return logits, new_cache
 
 
 def prefill(
