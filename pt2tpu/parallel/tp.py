@@ -486,7 +486,7 @@ def tp_generate(
     column/row-parallel ternary matmuls, head-sharded KV cache, explicit
     psum/all_gather — the manual-TP serving path (cf. serve/generate.py for
     the single-device/GSPMD path)."""
-    from ..serve.kvcache import KVCache, KVLayerView
+    from ..serve.kvcache import KVCache, KVStackedView
 
     ways = mesh.shape["model"]
     B, Lp = prompt.shape
@@ -506,25 +506,27 @@ def tp_generate(
             cos_l = jax.lax.dynamic_slice_in_dim(cosl_all, pos0, L)
             sin_l = jax.lax.dynamic_slice_in_dim(sinl_all, pos0, L)
         mask = dec.build_mask(cfg, L, M, q_offset=pos0)
-        views = KVLayerView(
-            k=cache.k, v=cache.v, k_scale=cache.k_scale, v_scale=cache.v_scale
-        )
 
-        def body(x, xs):
-            li, kvl = xs
+        # In-place KV carry (see serve.kvcache.KVStackedView): per-layer
+        # views through xs/ys copied the whole shard-local cache per step.
+        def body(carry, li):
+            x, kvt = carry
+            kvl = KVStackedView(*kvt, li)
             lp = dec.layer_view(params_["layers"], li)
             y, kv = tp_layer_forward(
                 cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=pos0,
                 axis="model", chunks=chunks, impl=impl, layer_idx=li,
                 cos_loc=cos_l, sin_loc=sin_l,
             )
-            return y, kv
+            return (y, kv.carry()), None
 
-        h, new_views = jax.lax.scan(
-            body, h, (jnp.arange(cfg.n_layers), views)
+        (h, kvt), _ = jax.lax.scan(
+            body,
+            (h, KVStackedView.of(cache, 0).carry()),
+            jnp.arange(cfg.n_layers),
         )
         logits = dec.unembed(cfg, params_, h[:, -1:, :])[:, 0]
-        return logits, cache.with_layers(new_views, pos0 + L)
+        return logits, KVCache(*kvt, length=jnp.asarray(pos0 + L, jnp.int32))
 
     def run(params_, prompt_):
         shape = (cfg.n_layers, B, M, Hkv_local, cfg.hd)
@@ -573,7 +575,7 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
     (INT8 pool scales are a per-shard layout question left for the GSPMD
     path); rope/learned position models.
     """
-    from ..serve.kvcache import KVCache, KVLayerView
+    from ..serve.kvcache import KVCache, KVStackedView
 
     if cfg.pos not in ("rope", "learned"):
         raise NotImplementedError("TP engine supports rope/learned positions")
@@ -597,23 +599,26 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
             cos_l = jnp.take(cosl_all, positions, axis=0)[:, None]
             sin_l = jnp.take(sinl_all, positions, axis=0)[:, None]
         kv_valid = jnp.arange(M)[None, :] <= positions[:, None]
-        views = KVLayerView(k=cache.k, v=cache.v, k_scale=None, v_scale=None)
 
-        def body(h, xs):
-            li, kvl = xs
+        def body(carry, li):
+            h, kvt = carry
+            kvl = KVStackedView(*kvt, li)
             lp = dec.layer_view(params_["layers"], li)
             y, kv = tp_layer_forward(
                 cfg, lp, h, cos, sin, None, cache=kvl, cache_pos=positions,
                 kv_valid=kv_valid, axis="model", chunks=chunks, impl=impl,
                 layer_idx=li, cos_loc=cos_l, sin_loc=sin_l,
             )
-            return y, kv
+            return (y, kv.carry()), None
 
-        h, new_views = jax.lax.scan(body, x, (jnp.arange(cfg.n_layers), views))
+        (h, kvt), _ = jax.lax.scan(
+            body, (x, KVStackedView.of(cache, 0).carry()),
+            jnp.arange(cfg.n_layers),
+        )
         logits = dec.unembed(cfg, params_, h)[:, 0]
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(active, nxt, 0)
-        return nxt, cache.with_layers(new_views, cache.length)
+        return nxt, KVCache(*kvt, length=cache.length)
 
     decode_sm = jax.jit(
         jax.shard_map(
@@ -632,10 +637,10 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
             ways = jax.lax.psum(1, "model")
             Hkv_local = cfg.kv_heads // ways
             tshape = (cfg.n_layers, 1, M, Hkv_local, cfg.hd)
-            tmp = KVLayerView(
-                k=jnp.zeros(tshape, cache.k.dtype),
-                v=jnp.zeros(tshape, cache.v.dtype),
-                k_scale=None, v_scale=None,
+            tmp0 = (
+                jnp.zeros(tshape, cache.k.dtype),
+                jnp.zeros(tshape, cache.v.dtype),
+                None, None,
             )
             h = dec.embed_tokens(cfg, params_, prompt)
             cos_all, sin_all, cosl_all, sinl_all = _rope(M)
@@ -644,18 +649,19 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
             sin_l = None if sinl_all is None else sinl_all[:Lb]
             mask = dec.build_mask(cfg, Lb, M)
 
-            def body(x, xs):
-                li, kvl = xs
+            def body(carry, li):
+                x, kvt = carry
+                kvl = KVStackedView(*kvt, li)
                 lp = dec.layer_view(params_["layers"], li)
                 y, kv = tp_layer_forward(
                     cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=0,
                     axis="model", chunks=chunks, impl=impl, layer_idx=li,
                     cos_loc=cos_l, sin_loc=sin_l,
                 )
-                return y, kv
+                return (y, kv.carry()), None
 
-            h, new_views = jax.lax.scan(
-                body, h, (jnp.arange(cfg.n_layers), tmp)
+            (h, kvt), _ = jax.lax.scan(
+                body, (h, tmp0), jnp.arange(cfg.n_layers)
             )
             h_last = jax.lax.dynamic_slice_in_dim(h, true_len - 1, 1, axis=1)
             logits = dec.unembed(cfg, params_, h_last)[:, 0]
@@ -663,9 +669,10 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
             def put(pool, row):
                 return pool.at[:, slot].set(row[:, 0])
 
+            tk, tv, _, _ = kvt
             new_cache = KVCache(
-                k=put(cache.k, new_views.k),
-                v=put(cache.v, new_views.v),
+                k=put(cache.k, tk),
+                v=put(cache.v, tv),
                 k_scale=None, v_scale=None,
                 length=cache.length,
             )

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import decoder as dec
-from .kvcache import KVCache, KVLayerView
+from .kvcache import KVCache, KVLayerView, KVStackedView
 
 __all__ = ["RingCaches", "init_ring_caches", "ring_generate", "make_ring_engine_fns"]
 
@@ -228,40 +228,25 @@ def ring_generate(
             ki = kidx[li]
 
             def run_glob(h, glob, ring):
-                view = glob.layer(ki)
+                # In-place single-row write at layer ki (KVStackedView):
+                # writing the full layer slab back copied ~2x the layer's
+                # KV per step (see serve.kvcache.KVStackedView).
+                view = KVStackedView(glob.k, glob.v, None, None, ki)
                 y, io = dec.layer_forward(
                     cfg_plain, lp, h, cos_g, sin_g, mask_g, cache=view,
                     cache_pos=pos, impl=impl, layer_idx=li,
                 )
-                nk = io.kv
-                glob = dataclasses.replace(
-                    glob,
-                    k=jax.lax.dynamic_update_slice(
-                        glob.k, nk.k[None], (ki, 0, 0, 0, 0)
-                    ),
-                    v=jax.lax.dynamic_update_slice(
-                        glob.v, nk.v[None], (ki, 0, 0, 0, 0)
-                    ),
-                )
+                glob = dataclasses.replace(glob, k=io.kv.k, v=io.kv.v)
                 return y, glob, ring
 
             def run_ring(h, glob, ring):
-                view = ring.layer(ki)
+                view = KVStackedView(ring.k, ring.v, None, None, ki)
                 y, io = dec.layer_forward(
                     cfg_plain, lp, h, cos_l, sin_l, None, cache=view,
                     cache_pos=pos % W, kv_valid=kv_valid_r, impl=impl,
                     layer_idx=li,
                 )
-                nk = io.kv
-                ring = dataclasses.replace(
-                    ring,
-                    k=jax.lax.dynamic_update_slice(
-                        ring.k, nk.k[None], (ki, 0, 0, 0, 0)
-                    ),
-                    v=jax.lax.dynamic_update_slice(
-                        ring.v, nk.v[None], (ki, 0, 0, 0, 0)
-                    ),
-                )
+                ring = dataclasses.replace(ring, k=io.kv.k, v=io.kv.v)
                 return y, glob, ring
 
             if ring.k.shape[0] == 0:
@@ -319,32 +304,24 @@ def _ring_decode_step(cfg, params, tokens, caches, positions, active,
         lp = dec.layer_view(params["layers"], li)
         ki = kidx[li]
 
-        def upd(stack, nk, k_idx):
-            return dataclasses.replace(
-                stack,
-                k=jax.lax.dynamic_update_slice(
-                    stack.k, nk.k[None], (k_idx, 0, 0, 0, 0)
-                ),
-                v=jax.lax.dynamic_update_slice(
-                    stack.v, nk.v[None], (k_idx, 0, 0, 0, 0)
-                ),
-            )
-
         def run_glob(h, glob, ring):
+            # In-place per-row write at layer ki (see KVStackedView).
+            view = KVStackedView(glob.k, glob.v, None, None, ki)
             y, io = dec.layer_forward(
-                cfg_plain, lp, h, cos_g, sin_g, None, cache=glob.layer(ki),
+                cfg_plain, lp, h, cos_g, sin_g, None, cache=view,
                 cache_pos=positions, kv_valid=kv_valid_g, impl=impl,
                 layer_idx=li,
             )
-            return y, upd(glob, io.kv, ki), ring
+            return y, dataclasses.replace(glob, k=io.kv.k, v=io.kv.v), ring
 
         def run_ring(h, glob, ring):
+            view = KVStackedView(ring.k, ring.v, None, None, ki)
             y, io = dec.layer_forward(
-                cfg_plain, lp, h, cos_l, sin_l, None, cache=ring.layer(ki),
+                cfg_plain, lp, h, cos_l, sin_l, None, cache=view,
                 cache_pos=positions % W, kv_valid=kv_valid_r, impl=impl,
                 layer_idx=li,
             )
-            return y, glob, upd(ring, io.kv, ki)
+            return y, glob, dataclasses.replace(ring, k=io.kv.k, v=io.kv.v)
 
         if caches.ring.k.shape[0] == 0:
             h, glob, ring = run_glob(h, glob, ring)
@@ -385,18 +362,20 @@ def _ring_prefill_into_slot(cfg, params, prompt, true_len, caches, slot,
     cos_l = None if cosl_all is None else cosl_all[:Lb]
     sin_l = None if sinl_all is None else sinl_all[:Lb]
     mask = dec.build_mask(cfg, Lb, M)
-    views = KVLayerView(k=tmp.k, v=tmp.v, k_scale=None, v_scale=None)
-
-    def body(x, xs):
-        li, kvl = xs
+    def body(carry, li):
+        x, kvt = carry
+        kvl = KVStackedView(*kvt, li)
         lp = dec.layer_view(params["layers"], li)
         y, io = dec.layer_forward(
             cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=0, impl=impl,
             layer_idx=li, cos_loc=cos_l, sin_loc=sin_l,
         )
-        return y, io.kv
+        return (y, io.kv.carry()), None
 
-    h, new_views = jax.lax.scan(body, h, (jnp.arange(cfg.n_layers), views))
+    (h, kvt), _ = jax.lax.scan(
+        body, (h, (tmp.k, tmp.v, None, None)), jnp.arange(cfg.n_layers)
+    )
+    new_views = KVLayerView(k=kvt[0], v=kvt[1], k_scale=None, v_scale=None)
     h_last = jax.lax.dynamic_slice_in_dim(h, true_len - 1, 1, axis=1)
     logits = dec.unembed(cfg, params, h_last)[:, 0]
 
