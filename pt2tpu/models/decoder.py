@@ -31,6 +31,10 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.ternary_matmul import (
+    PackedTernaryLinear,
+    ternary_linear_apply_stacked,
+)
 from .common import (
     DenseLinear,
     alibi_bias,
@@ -100,6 +104,24 @@ class ModelConfig:
     attn_scale: Optional[float] = None  # query scaling override
     attn_softcap: float = 0.0  # gemma2 attention logit softcap
     final_softcap: float = 0.0  # gemma2 final logit softcap
+    # --- mixture-of-experts (mixtral / qwen3-moe) ------------------------
+    # The reference supports dense linears only (ref model.py:162-171
+    # discovers nn.Linear); MoE is new-framework scope (SURVEY.md §2.3 EP
+    # row). n_experts > 0 replaces the MLP with top-k routed experts:
+    # softmax router over n_experts, experts_per_token selected, their
+    # outputs combined with (optionally re-normalized) router weights.
+    n_experts: int = 0
+    experts_per_token: int = 2
+    moe_inter: Optional[int] = None  # expert FFN width; None -> intermediate
+    norm_topk: bool = True  # renormalize top-k router probs (mixtral/qwen3)
+
+    @property
+    def is_moe(self) -> bool:
+        return self.n_experts > 0
+
+    @property
+    def expert_inter(self) -> int:
+        return self.moe_inter or self.intermediate
 
     @property
     def kv_heads(self) -> int:
@@ -229,14 +251,34 @@ def _init_layer(cfg: ModelConfig, key, dtype):
         "o": _init_linear(keys[3], D, H * hd, cfg.linear_bias, dtype),
         "ln2_w": jnp.ones((D,), dtype),
         "ln2_b": ln_b,
-        "up": _init_linear(keys[5], I, D, cfg.linear_bias, dtype),
-        "down": _init_linear(keys[6], D, I, cfg.linear_bias, dtype),
     }
-    layer["gate"] = (
-        _init_linear(keys[4], I, D, cfg.linear_bias, dtype)
-        if cfg.gated_mlp
-        else None
-    )
+    if cfg.is_moe:
+        # Routed experts: stacked (E, out, in) dense weights + a router.
+        # Experts carry no bias (mixtral / qwen3-moe convention).
+        E, Ie = cfg.n_experts, cfg.expert_inter
+        ek = jax.random.split(keys[7], 4)
+        scale = 1.0 / math.sqrt(D)
+        layer["router"] = _init_linear(ek[0], E, D, False, dtype)
+        layer["gate"] = DenseLinear(
+            w=(jax.random.normal(ek[1], (E, Ie, D)) * scale).astype(dtype)
+        )
+        layer["up"] = DenseLinear(
+            w=(jax.random.normal(ek[2], (E, Ie, D)) * scale).astype(dtype)
+        )
+        layer["down"] = DenseLinear(
+            w=(
+                jax.random.normal(ek[3], (E, D, Ie)) / math.sqrt(Ie)
+            ).astype(dtype)
+        )
+    else:
+        layer["router"] = None
+        layer["up"] = _init_linear(keys[5], I, D, cfg.linear_bias, dtype)
+        layer["down"] = _init_linear(keys[6], D, I, cfg.linear_bias, dtype)
+        layer["gate"] = (
+            _init_linear(keys[4], I, D, cfg.linear_bias, dtype)
+            if cfg.gated_mlp
+            else None
+        )
     if cfg.qk_norm:
         layer["q_norm_w"] = jnp.ones((hd,), dtype)
         layer["k_norm_w"] = jnp.ones((hd,), dtype)
@@ -434,6 +476,104 @@ class LayerIO(NamedTuple):
     taps: Optional[Dict[str, jax.Array]]  # linear-input activations
 
 
+def moe_router_weights(cfg: ModelConfig, router, h: jax.Array):
+    """Top-k routing (mixtral / qwen3-moe semantics).
+
+    Returns (wfull, topw, topi): ``wfull`` is the (B, L, E) combine-weight
+    matrix — softmax over all experts, top-``experts_per_token`` kept
+    (renormalized when ``cfg.norm_topk``), zeros elsewhere. Router math in
+    f32 (routing decisions are precision-sensitive)."""
+    logits = h.astype(jnp.float32) @ router.w.T.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)  # (B, L, E)
+    topw, topi = jax.lax.top_k(probs, cfg.experts_per_token)
+    if cfg.norm_topk:
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    onehot = jax.nn.one_hot(topi, cfg.n_experts, dtype=topw.dtype)
+    wfull = jnp.einsum("blk,blke->ble", topw, onehot)
+    return wfull, topw, topi
+
+
+def _flatten_expert_stack(p):
+    """(n_layers, E, ...) packed-ternary leaves -> (n_layers*E, ...) so the
+    scalar-prefetch stacked kernel selects layer*E + expert directly (a
+    leading-dims merge is a free metadata reshape)."""
+    import dataclasses as _dc
+
+    def r(a):
+        return None if a is None else a.reshape((-1,) + a.shape[2:])
+
+    g = p.gather
+    if g is not None:
+        g = _dc.replace(g, packed=r(g.packed), perm=r(g.perm))
+    return _dc.replace(
+        p, packed=r(p.packed), alpha=r(p.alpha), mu=r(p.mu), perm=r(p.perm),
+        bias=r(p.bias), gather=g,
+    )
+
+
+def _moe_expert_apply(lin, x, e, layer_idx, n_experts, impl):
+    """Apply one expert's projection: DenseLinear with (E, out, in) weights
+    or PackedTernaryLinear stacked over experts ((E, ...) per-layer, or
+    (L, E, ...) inside scan-over-layers — disambiguated by ndim)."""
+    if isinstance(lin, PackedTernaryLinear):
+        if lin.packed.ndim == 4:
+            flat = _flatten_expert_stack(lin)
+            idx = jnp.asarray(layer_idx, jnp.int32) * n_experts + e
+            return ternary_linear_apply_stacked(flat, x, idx, impl=impl)
+        return ternary_linear_apply_stacked(
+            lin, x, jnp.asarray(e, jnp.int32), impl=impl
+        )
+    we = lin.w[e]  # (out, in); traced e -> dynamic_index
+    return x @ we.T.astype(x.dtype)
+
+
+def _moe_mlp(
+    cfg: ModelConfig,
+    lp: Dict[str, Any],
+    h: jax.Array,  # (B, L, D) post-ln2
+    impl: str,
+    layer_idx,
+    taps: Optional[Dict[str, jax.Array]] = None,
+) -> jax.Array:
+    """Routed-expert MLP. Exact combine: out = sum_e w_e * expert_e(h).
+
+    Two execution plans, same math:
+      * B*L == 1 (decode): only the top-k selected experts run — k
+        data-dependent expert indices feed the scalar-prefetch stacked
+        kernel (ternary) or a dynamic weight slice (dense).
+      * otherwise (prefill / calibration): static loop over all E experts,
+        each applied to every token and combined with its (mostly zero)
+        routing weight — dense compute, XLA-friendly, no ragged shapes.
+    """
+    E = cfg.n_experts
+    Ie = cfg.expert_inter
+    wfull, topw, topi = moe_router_weights(cfg, lp["router"], h)
+    if taps is not None:
+        taps["moe_w"] = wfull
+
+    def expert_out(e):
+        if lp.get("gateup") is not None:
+            gu = _moe_expert_apply(lp["gateup"], h, e, layer_idx, E, impl)
+            mid = _act(cfg, gu[..., :Ie]) * gu[..., Ie:]
+        else:
+            g = _moe_expert_apply(lp["gate"], h, e, layer_idx, E, impl)
+            u = _moe_expert_apply(lp["up"], h, e, layer_idx, E, impl)
+            mid = _act(cfg, g) * u
+        return _moe_expert_apply(lp["down"], mid, e, layer_idx, E, impl)
+
+    B, L, D = h.shape
+    acc = jnp.zeros((B, L, D), jnp.float32)
+    if B * L == 1:
+        for j in range(cfg.experts_per_token):
+            e = topi[0, 0, j]
+            acc = acc + topw[0, 0, j] * expert_out(e).astype(jnp.float32)
+    else:
+        for e in range(E):
+            w_e = wfull[..., e][..., None]  # (B, L, 1)
+            acc = acc + w_e * expert_out(e).astype(jnp.float32)
+    return acc.astype(h.dtype)
+
+
 def layer_forward(
     cfg: ModelConfig,
     lp: Dict[str, Any],
@@ -541,6 +681,15 @@ def layer_forward(
     h = _norm(cfg, x, lp["ln2_w"], lp["ln2_b"])
     if return_taps:
         taps["mlp_in"] = h
+    if cfg.is_moe:
+        mo = _moe_mlp(
+            cfg, lp, h, impl, layer_idx if layer_idx is not None else 0,
+            taps=taps if return_taps else None,
+        )
+        if cfg.sandwich_norm:
+            mo = _norm(cfg, mo, lp["post_mlp_w"], None)
+        x = x + mo
+        return x, LayerIO(kv=new_kv, taps=taps if return_taps else None)
     if lp.get("gateup") is not None:
         gu = apply_linear(lp["gateup"], h, impl, layer_idx)
         I = cfg.intermediate

@@ -26,6 +26,8 @@ def get_model_type(model_name: str) -> str:
         return "gemma2"
     if "gemma" in s:
         return "gemma"
+    if "mixtral" in s:
+        return "mixtral"
     if "llama-3" in s or "llama3" in s:
         return "llama3"
     if "llama-2" in s or "llama2" in s:
@@ -212,6 +214,17 @@ CONFIGS: Dict[str, ModelConfig] = {
         2560, 34, 8, 10240, head_dim=256, n_kv=4, rope_scale=8.0
     ),
     "bloom-560m": _bloom(1024, 24, 16),
+    # Mixture-of-experts families (SURVEY.md §2.3 EP row: absent in the
+    # reference — ref model.py:162-171 discovers dense nn.Linear only).
+    "mixtral-8x7b": _llama(
+        "mixtral", 4096, 32, 32, 14336, n_kv=8, vocab=32000,
+        rope_theta=1000000.0, n_experts=8, experts_per_token=2,
+        max_seq_len=4096,
+    ),
+    "qwen3-30b-a3b": _qwen3(
+        2048, 48, 32, 6144, n_kv=4, head_dim=128, n_experts=128,
+        experts_per_token=8, moe_inter=768,
+    ),
     # Tiny configs for tests / CI (structurally identical to the big ones)
     "tiny-llama": _llama("llama2", 64, 2, 4, 128, vocab=256, max_seq_len=128),
     "tiny-gemma": _gemma(
@@ -229,6 +242,10 @@ CONFIGS: Dict[str, ModelConfig] = {
     "tiny-gemma3": _gemma3(
         64, 4, 4, 128, head_dim=16, n_kv=2, vocab=256, max_seq_len=128,
         sliding_window=16, pattern=2,
+    ),
+    "tiny-moe": _llama(
+        "mixtral", 64, 2, 4, 128, vocab=256, max_seq_len=128,
+        n_experts=4, experts_per_token=2,
     ),
 }
 

@@ -33,6 +33,7 @@ __all__ = ["param_shardings", "shard_params", "batch_sharding", "seq_sharding", 
 
 _COL = {"q", "k", "v", "gate", "up", "qkv", "gateup"}  # column-parallel
 _ROW = {"o", "down"}  # row-parallel (in features sharded)
+_MOE_EXPERT = {"gate", "up", "gateup", "down"}  # carry an expert dim in MoE
 
 
 def _ns(mesh: Mesh, *spec) -> NamedSharding:
@@ -45,50 +46,70 @@ def _pad(spec_tail, ndim: int):
 
 
 def _fit(mesh: Mesh, arr, spec_tail):
-    """Drop axis names whose mesh size doesn't divide the array dim (tiny
-    test models can have fewer scale blocks than 'model' shards — replicate
-    those dims instead of failing)."""
+    """Drop axis names absent from the mesh or whose size doesn't divide
+    the array dim (tiny test models can have fewer scale blocks than
+    'model' shards — replicate those dims instead of failing; a
+    ('data','expert') mesh simply replicates 'model'-tagged dims)."""
     nd = arr.ndim
     spec = list(_pad(spec_tail, nd))
     for i, ax in enumerate(spec):
-        if ax is not None and arr.shape[i] % mesh.shape[ax] != 0:
+        if ax is not None and (
+            ax not in mesh.shape or arr.shape[i] % mesh.shape[ax] != 0
+        ):
             spec[i] = None
     return _ns(mesh, *spec)
 
 
-def _dense_spec(lin: DenseLinear, mesh: Mesh, kind: str) -> DenseLinear:
+def _dense_spec(
+    lin: DenseLinear, mesh: Mesh, kind: str, expert: bool = False
+) -> DenseLinear:
     tail = {"col": ["model", None], "row": [None, "model"]}.get(kind, [None, None])
     btail = {"col": ["model"]}.get(kind, [None])
+    if expert:
+        # MoE leaves carry an expert dim left of the usual shape; shard it
+        # on the 'expert' mesh axis (expert parallelism — SURVEY.md §2.3 EP
+        # row, absent in the reference).
+        tail = ["expert"] + tail
+        btail = ["expert"] + btail
     w = _fit(mesh, lin.w, tail)
     b = None if lin.b is None else _fit(mesh, lin.b, btail)
     return DenseLinear(w=w, b=b)
 
 
 def _ternary_spec(
-    lin: PackedTernaryLinear, mesh: Mesh, kind: str
+    lin: PackedTernaryLinear, mesh: Mesh, kind: str, expert: bool = False
 ) -> PackedTernaryLinear:
     if kind == "col":
-        packed = _fit(mesh, lin.packed, [None, "model"])
-        alpha = _fit(mesh, lin.alpha, [None, "model"])
-        mu = _fit(mesh, lin.mu, [None, "model"])
-        bias = None if lin.bias is None else _fit(mesh, lin.bias, ["model"])
+        ptail, stail, btail = [None, "model"], [None, "model"], ["model"]
         # Column-parallel: contraction lanes (K) replicated, so the one-hot
         # gather matrix replicates too.
         gtail = [None, None]
     else:  # row
-        packed = _fit(mesh, lin.packed, ["model", None])
-        alpha = _fit(mesh, lin.alpha, ["model", None])
-        mu = _fit(mesh, lin.mu, ["model", None])
-        bias = None if lin.bias is None else _fit(mesh, lin.bias, [None])
+        ptail, stail, btail = ["model", None], ["model", None], [None]
         # Row-parallel: contraction lanes sharded on 'model' -> each shard
         # only needs its K-range of the gather's output columns.
         gtail = [None, "model"]
-    perm = _fit(mesh, lin.perm, [None])  # replicated
+    permtail = [None]  # indexes activation features: replicated
+    if expert:
+        # MoE leaves carry an expert dim left of the usual shape; shard it
+        # on the 'expert' mesh axis (expert parallelism — SURVEY.md §2.3 EP
+        # row, absent in the reference). _pad then left-pads any stacked
+        # n_layers dim with None.
+        ptail = ["expert"] + ptail
+        stail = ["expert"] + stail
+        btail = ["expert"] + btail
+        gtail = ["expert"] + gtail
+        permtail = ["expert"] + permtail
+    packed = _fit(mesh, lin.packed, ptail)
+    alpha = _fit(mesh, lin.alpha, stail)
+    mu = _fit(mesh, lin.mu, stail)
+    bias = None if lin.bias is None else _fit(mesh, lin.bias, btail)
+    perm = _fit(mesh, lin.perm, permtail)
     gather = None
     if lin.gather is not None:
         gather = PackedGather(
             packed=_fit(mesh, lin.gather.packed, gtail),
-            perm=_fit(mesh, lin.gather.perm, [None]),
+            perm=_fit(mesh, lin.gather.perm, permtail),
             in_features=lin.gather.in_features,
         )
     return PackedTernaryLinear(
@@ -105,10 +126,10 @@ def _ternary_spec(
     )
 
 
-def _linear_spec(lin, mesh, kind):
+def _linear_spec(lin, mesh, kind, expert: bool = False):
     if isinstance(lin, PackedTernaryLinear):
-        return _ternary_spec(lin, mesh, kind)
-    return _dense_spec(lin, mesh, kind)
+        return _ternary_spec(lin, mesh, kind, expert=expert)
+    return _dense_spec(lin, mesh, kind, expert=expert)
 
 
 def param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
@@ -116,14 +137,21 @@ def param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     repl1 = _ns(mesh, None)
 
     layers = params["layers"]
+    is_moe = layers.get("router") is not None
     layer_specs = {}
     for name, leaf in layers.items():
         if leaf is None:
             layer_specs[name] = None
+        elif name == "router":  # tiny per-layer (E, D) matrix: replicate
+            layer_specs[name] = _dense_spec(leaf, mesh, "replicate")
         elif name in _COL:
-            layer_specs[name] = _linear_spec(leaf, mesh, "col")
+            layer_specs[name] = _linear_spec(
+                leaf, mesh, "col", expert=is_moe and name in _MOE_EXPERT
+            )
         elif name in _ROW:
-            layer_specs[name] = _linear_spec(leaf, mesh, "row")
+            layer_specs[name] = _linear_spec(
+                leaf, mesh, "row", expert=is_moe and name in _MOE_EXPERT
+            )
         else:  # norm weights/biases: replicated (stacked)
             layer_specs[name] = _ns(mesh, *_pad([None], leaf.ndim))
 

@@ -120,6 +120,10 @@ def fold_layer_perms(
     lp = dict(lp)
 
     down = lp.get("down")
+    if isinstance(down, PackedTernaryLinear) and down.packed.ndim != 2:
+        # Expert-stacked MoE entries are folded per expert BEFORE stacking
+        # (fold_moe_expert_perms); nothing to do at the layer level.
+        down = None
     if isinstance(down, PackedTernaryLinear) and not (
         down.identity_perm or down.input_folded
     ):
@@ -148,8 +152,49 @@ def fold_layer_perms(
         p = lp.get(name)
         if not isinstance(p, PackedTernaryLinear) or p.gather is not None:
             continue
-        if p.identity_perm or p.input_folded:
+        if p.identity_perm or p.input_folded or p.packed.ndim != 2:
             continue
         lp[name] = _attach_gather(p)
 
     return lp
+
+
+def fold_moe_expert_perms(cfg: Any, expert_lps):
+    """Fold each expert's {gateup, down} perms independently, keeping the
+    STATIC structure uniform across experts so the per-expert pytrees can
+    stack into one (E, ...) leaf set.
+
+    ``fold_layer_perms`` per expert normally folds down's perm into
+    gateup's output lanes for free. If the fold succeeds for some experts
+    but not others (e.g. a pad-lane perm on one expert), the static flags
+    would differ and the stack would be illegal — in that case every
+    expert uniformly falls back to packed one-hot gathers.
+    """
+    folded = [fold_layer_perms(cfg, dict(lp)) for lp in expert_lps]
+
+    def sig(lp):
+        out = []
+        for k in sorted(lp):
+            v = lp[k]
+            if isinstance(v, PackedTernaryLinear):
+                out.append(
+                    (k, v.identity_perm, v.input_folded, v.out_folded,
+                     v.gather is not None)
+                )
+        return tuple(out)
+
+    if len({sig(f) for f in folded}) == 1:
+        return folded
+    out = []
+    for lp in expert_lps:
+        lp = dict(lp)
+        for k, v in list(lp.items()):
+            if (
+                isinstance(v, PackedTernaryLinear)
+                and not v.identity_perm
+                and not v.input_folded
+                and v.gather is None
+            ):
+                lp[k] = _attach_gather(v)
+        out.append(lp)
+    return out

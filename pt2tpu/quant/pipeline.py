@@ -28,6 +28,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models import decoder as dec
 from ..models.common import DenseLinear
@@ -201,6 +202,12 @@ def quantize_model(
         groups += [(n, (n,), dec.TAP_OF_LINEAR[n]) for n in ("gate", "up") if n in all_names]
     if "down" in all_names:
         groups.append(("down", ("down",), "down_in"))
+    if cfg.is_moe:
+        # Expert MLPs take the routed per-expert path below; only the
+        # attention projections go through the standard groups. (The
+        # reference has no MoE at all — ref model.py:162-171 — so this
+        # branch is new-framework scope, SURVEY.md §2.3 EP row.)
+        groups = [g for g in groups if g[0] in ("qkv", "q", "k", "v", "o")]
     tap_dims = _tap_dims(cfg)
 
     new_layers: List[Any] = list(prequantized_layers or [])
@@ -218,18 +225,89 @@ def quantize_model(
 
     report: Dict[str, Any] = {"layers": []}
 
+    E = cfg.n_experts
+    if cfg.is_moe:
+        # Expert mid-activations are recomputed per expert during Hessian
+        # accumulation (returning (B, L, E, I) taps would multiply
+        # calibration memory by n_experts).
+        @jax.jit
+        def _expert_mid(gate_w, up_w, x):
+            g = x.astype(jnp.float32) @ gate_w.T.astype(jnp.float32)
+            u = x.astype(jnp.float32) @ up_w.T.astype(jnp.float32)
+            return dec._act(cfg, g) * u
+
     for li in range(start_layer, cfg.n_layers):
         lp = dec.layer_slice(params["layers"], li)
 
         needed_taps = {tap for _, _, tap in groups}
+        if cfg.is_moe:
+            needed_taps.add("mlp_in")
         accs = {t: HessianAccumulator(tap_dims[t]) for t in needed_taps}
+        if cfg.is_moe:
+            # Routed per-expert Hessians: the layer output contribution of
+            # expert e on token t is w_te * E_e(x_t), so quantization error
+            # in E_e's weights enters the output scaled by w_te — the
+            # output-error-optimal statistic is H_e = sum_t w_te^2 x_t x_t^T,
+            # accumulated as rows w_te * x_t (unrouted tokens have w = 0 and
+            # drop out). gate/up see the shared mlp_in; down sees expert e's
+            # own mid-activations.
+            accs_gu = [HessianAccumulator(cfg.dim) for _ in range(E)]
+            accs_dn = [HessianAccumulator(cfg.expert_inter) for _ in range(E)]
         for h in hidden:
             _, taps = run_layer(lp, h, jnp.int32(li), True)
             for t in needed_taps:
                 accs[t].update(taps[t])
+            if cfg.is_moe:
+                x = taps["mlp_in"]
+                w = taps["moe_w"]  # (B, L, E) f32 combine weights
+                for e in range(E):
+                    xe = x.astype(jnp.float32) * w[..., e : e + 1]
+                    accs_gu[e].update(xe)
+                    mid = _expert_mid(lp["gate"].w[e], lp["up"].w[e], x)
+                    accs_dn[e].update(mid * w[..., e : e + 1])
 
         new_lp = dict(lp)
         layer_report = {}
+        if cfg.is_moe:
+            expert_lps = []
+            moe_stats = {"gateup": [], "down": []}
+            for e in range(E):
+                lin_gu = DenseLinear(
+                    w=jnp.concatenate(
+                        [lp["gate"].w[e], lp["up"].w[e]], axis=0
+                    )
+                )
+                p_gu, st_gu = quantize_linear(
+                    lin_gu, accs_gu[e], qcfg,
+                    use_ssr=qcfg.use_ssr and "gateup" not in qcfg.ssr_skip,
+                )
+                p_dn, st_dn = quantize_linear(
+                    DenseLinear(w=lp["down"].w[e]), accs_dn[e], qcfg,
+                    use_ssr=qcfg.use_ssr and "down" not in qcfg.ssr_skip,
+                )
+                expert_lps.append({"gateup": p_gu, "down": p_dn})
+                moe_stats["gateup"].append(st_gu)
+                moe_stats["down"].append(st_dn)
+            if qcfg.fold_perms:
+                from .fold import fold_moe_expert_perms
+
+                expert_lps = fold_moe_expert_perms(cfg, expert_lps)
+            for name in ("gateup", "down"):
+                new_lp[name] = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs),
+                    *[elp[name] for elp in expert_lps],
+                )
+            new_lp.pop("gate", None)
+            new_lp.pop("up", None)
+            for name in ("gateup", "down"):
+                layer_report[name] = {
+                    k: float(np.mean([s[k] for s in moe_stats[name]]))
+                    for k in moe_stats[name][0]
+                }
+                log.emit(
+                    "layer_quantized", layer=li, proj=name + f"[x{E}]",
+                    **layer_report[name],
+                )
         for gname, members, tap in groups:
             if len(members) == 1:
                 lin = lp[members[0]]
