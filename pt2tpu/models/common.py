@@ -209,6 +209,8 @@ def attention(
             scores = scores + mask[None, None, None, :, :]
         elif mask.ndim == 3:  # (H, Lq, Lkv)
             scores = scores + mask.reshape(Hkv, rep, Lq, Lkv)[None]
+        elif mask.shape[1] == 1:  # (B, 1, Lq, Lkv): shared across heads
+            scores = scores + mask[:, :, None]
         else:  # (B, H, Lq, Lkv)
             scores = scores + mask.reshape(B, Hkv, rep, Lq, Lkv)
     if kv_valid is not None:

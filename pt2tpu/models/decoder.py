@@ -397,19 +397,23 @@ def embed_tokens(
 def embed_tokens_per_row(
     cfg: ModelConfig, params, tokens: jax.Array, positions: jax.Array
 ) -> jax.Array:
-    """(B,) ids at per-row ``positions`` -> (B, 1, D) hidden.
+    """(B,) ids at per-row ``positions`` (B,) -> (B, 1, D) hidden, or
+    (B, Lw) ids at (B, Lw) positions -> (B, Lw, D) (speculative verify).
 
     The continuous-batching decode embed: same semantics as
     :func:`embed_tokens` (embed scale, learned positions, embedding norm)
     but each batch row sits at its own sequence position.
     """
-    h = jnp.take(params["embed"], tokens[:, None], axis=0)  # (B, 1, D)
+    if tokens.ndim == 1:
+        tokens = tokens[:, None]
+        positions = positions[:, None]
+    h = jnp.take(params["embed"], tokens, axis=0)  # (B, Lw, D)
     if cfg.embed_scale != 1.0:
         h = h * jnp.asarray(cfg.embed_scale, h.dtype)
     if cfg.pos == "learned":
         h = h + jnp.take(
             params["pos_embed"], positions + cfg.pos_offset, axis=0
-        )[:, None]
+        )
     if cfg.embed_norm:
         h = _norm(cfg, h, params["emb_ln_w"], params["emb_ln_b"])
     return h

@@ -587,7 +587,7 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
     def _rope(M):
         return dec.pos_tables(cfg, M)
 
-    def _decode_body(params_, tokens, cache, positions, active):
+    def _decode_body(params_, tokens, cache, positions, active, samp=None):
         B = tokens.shape[0]
         M = cache.max_len
         x = dec.embed_tokens_per_row(cfg, params_, tokens, positions)
@@ -616,22 +616,41 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
             jnp.arange(cfg.n_layers),
         )
         logits = dec.unembed(cfg, params_, h)[:, 0]
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if samp is None:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            from ..serve.sampling import sample_per_row
+
+            base_key, uids, temps, top_ks, top_ps = samp
+            nxt = sample_per_row(
+                logits, base_key, uids, positions, temps, top_ks, top_ps
+            )
         nxt = jnp.where(active, nxt, 0)
         return nxt, KVCache(*kvt, length=cache.length)
 
-    decode_sm = jax.jit(
-        jax.shard_map(
-            _decode_body,
-            mesh=mesh,
-            in_specs=(pspecs, P(None), cache_spec, P(None), P(None)),
-            out_specs=(P(None), cache_spec),
-            check_vma=False,
-        )
-    )
+    _base_in_specs = (pspecs, P(None), cache_spec, P(None), P(None))
+    _samp_spec = (P(), P(None), P(None), P(None), P(None))
+    decode_sms = {}
 
-    def _prefill_body(slot):
-        def run(params_, prompt, true_len, cache):
+    def _decode_sm(with_samp: bool):
+        if with_samp not in decode_sms:
+            decode_sms[with_samp] = jax.jit(
+                jax.shard_map(
+                    _decode_body,
+                    mesh=mesh,
+                    in_specs=(
+                        _base_in_specs + (_samp_spec,)
+                        if with_samp
+                        else _base_in_specs
+                    ),
+                    out_specs=(P(None), cache_spec),
+                    check_vma=False,
+                )
+            )
+        return decode_sms[with_samp]
+
+    def _prefill_body(slot, with_samp=False):
+        def run(params_, prompt, true_len, cache, samp=None):
             M = cache.max_len
             Lb = prompt.shape[1]
             ways = jax.lax.psum(1, "model")
@@ -676,27 +695,50 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
                 k_scale=None, v_scale=None,
                 length=cache.length,
             )
-            return jnp.argmax(logits[0]).astype(jnp.int32), new_cache
+            if samp is None:
+                tok = jnp.argmax(logits[0]).astype(jnp.int32)
+            else:
+                from ..serve.sampling import sample_per_row
+
+                base_key, uid, temp, top_k, top_p = samp
+                tok = sample_per_row(
+                    logits, base_key, uid[None], (true_len - 1)[None],
+                    temp[None], top_k[None], top_p[None],
+                )[0]
+            return tok, new_cache
 
         return run
 
     prefill_cache = {}
 
-    def prefill_fn(cfg_, params_, prompt, true_len, cache, slot, impl_="auto"):
-        key = (slot, prompt.shape[1])
+    def prefill_fn(cfg_, params_, prompt, true_len, cache, slot, impl_="auto",
+                   samp=None):
+        with_samp = samp is not None
+        key = (slot, prompt.shape[1], with_samp)
         if key not in prefill_cache:
+            in_specs = (pspecs, P(None, None), P(), cache_spec)
+            if with_samp:
+                in_specs = in_specs + ((P(), P(), P(), P(), P()),)
             prefill_cache[key] = jax.jit(
                 jax.shard_map(
-                    _prefill_body(slot),
+                    _prefill_body(slot, with_samp),
                     mesh=mesh,
-                    in_specs=(pspecs, P(None, None), P(), cache_spec),
+                    in_specs=in_specs,
                     out_specs=(P(), cache_spec),
                     check_vma=False,
                 )
             )
-        return prefill_cache[key](params_, prompt, jnp.int32(true_len), cache)
+        args = (params_, prompt, jnp.int32(true_len), cache)
+        if with_samp:
+            args = args + (samp,)
+        return prefill_cache[key](*args)
 
-    def decode_fn(cfg_, params_, tokens, cache, positions, active, impl_="auto"):
-        return decode_sm(params_, tokens, cache, positions, active)
+    def decode_fn(cfg_, params_, tokens, cache, positions, active,
+                  impl_="auto", samp=None):
+        if samp is None:
+            return _decode_sm(False)(params_, tokens, cache, positions, active)
+        return _decode_sm(True)(
+            params_, tokens, cache, positions, active, samp
+        )
 
     return prefill_fn, decode_fn

@@ -12,9 +12,15 @@ standard slot-based continuous batcher, TPU-shaped:
     step (per-slot positions, per-row RoPE, per-row cache writes,
     per-row validity masks);
   * the host loop (pure Python/numpy bookkeeping) admits, steps, detects
-    EOS/max-token stops, and frees slots — it never touches device shapes.
-
-Greedy sampling for now; the sampling hook is a single argmax site.
+    EOS/max-token stops, and frees slots — it never touches device shapes;
+  * per-request sampling (temperature/top-k/top-p) runs INSIDE the jitted
+    decode step with per-row parameters (serve.sampling.sample_per_row);
+    greedy rows stay exact argmax;
+  * optional speculative decoding (``draft=...``): a draft-model slot pool
+    mirrors the target pool, every step drafts k tokens per row and
+    verifies them in ONE (B, k+1) per-row target forward — rows advance
+    1..k+1 tokens per step independently. Greedy rows are token-exact vs
+    the non-speculative engine.
 """
 
 from __future__ import annotations
@@ -29,6 +35,7 @@ import numpy as np
 
 from ..models import decoder as dec
 from .kvcache import KVCache, KVStackedView, init_cache
+from .sampling import SamplingConfig, sample_per_row
 
 __all__ = ["Request", "ServeEngine"]
 
@@ -39,6 +46,7 @@ class Request:
     prompt: np.ndarray  # (Lp,) int32
     max_new: int
     eos_id: Optional[int] = None
+    sampling: Optional[SamplingConfig] = None  # None => greedy
     out: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
 
@@ -50,39 +58,51 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "impl"))
-def _decode_step(cfg, params, tokens, cache, positions, active, impl="auto"):
-    """One per-row decode step for all slots.
+def _rows_forward(cfg, params, tokens, cache, positions, impl="auto"):
+    """Per-row windowed forward: tokens (B, Lw) occupy positions
+    ``positions[b] .. positions[b]+Lw-1`` of each row's sequence. Writes the
+    window into the cache and returns ((B, Lw, V) logits, cache).
 
-    tokens (B,) int32; positions (B,) int32 (where the new token sits);
-    active (B,) bool. Returns (next_tokens (B,), cache).
+    Lw == 1 is the continuous-batching decode step; Lw == k+1 is the
+    speculative verify step. Causality within the window and validity of
+    the cache prefix are one additive (B, 1, Lw, M) mask (ALiBi adds its
+    per-head bias on top).
     """
-    B = tokens.shape[0]
+    B, Lw = tokens.shape
     M = cache.max_len
-    x = dec.embed_tokens_per_row(cfg, params, tokens, positions)  # (B, 1, D)
+    pos2 = positions[:, None] + jnp.arange(Lw)[None, :]  # (B, Lw)
+    x = dec.embed_tokens_per_row(cfg, params, tokens, pos2)  # (B, Lw, D)
     if cfg.pos == "rope":
         cos_all, sin_all, cosl_all, sinl_all = dec.pos_tables(cfg, M)
-        cos = jnp.take(cos_all, positions, axis=0)[:, None]  # (B, 1, hd/2)
-        sin = jnp.take(sin_all, positions, axis=0)[:, None]
+        cos = jnp.take(cos_all, pos2, axis=0)  # (B, Lw, hd/2)
+        sin = jnp.take(sin_all, pos2, axis=0)
         cos_l = sin_l = None
         if cosl_all is not None:
-            cos_l = jnp.take(cosl_all, positions, axis=0)[:, None]
-            sin_l = jnp.take(sinl_all, positions, axis=0)[:, None]
+            cos_l = jnp.take(cosl_all, pos2, axis=0)
+            sin_l = jnp.take(sinl_all, pos2, axis=0)
     else:
-        cos = sin = jnp.zeros((B, 1, 1), jnp.float32)
+        cos = sin = jnp.zeros((B, Lw, 1), jnp.float32)
         cos_l = sin_l = None
 
-    kv_valid = jnp.arange(M)[None, :] <= positions[:, None]  # (B, M)
+    kv_valid = None
     mask = None
+    if Lw == 1:
+        # decode fast path: validity is per-row only (cheap bool mask)
+        kv_valid = jnp.arange(M)[None, :] <= positions[:, None]  # (B, M)
+    else:
+        ok = jnp.arange(M)[None, None, :] <= pos2[:, :, None]  # (B, Lw, M)
+        mask = jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
     if cfg.pos == "alibi":
         from ..models.common import alibi_slopes
 
         slopes = alibi_slopes(cfg.n_heads)  # (H,)
         rel = (
-            jnp.arange(M, dtype=jnp.float32)[None, :]
-            - positions.astype(jnp.float32)[:, None]
-        )  # (B, M)
-        mask = (slopes[None, :, None, None] * rel[:, None, None, :])  # (B,H,1,M)
+            jnp.arange(M, dtype=jnp.float32)[None, None, :]
+            - pos2.astype(jnp.float32)[:, :, None]
+        )  # (B, Lw, M)
+        bias = slopes[None, :, None, None] * rel[:, None]  # (B, H, Lw, M)
+        mask = bias if mask is None else bias + mask
+
     def body(carry, li):
         h, kvt = carry
         kvl = KVStackedView(*kvt, li)
@@ -97,15 +117,84 @@ def _decode_step(cfg, params, tokens, cache, positions, active, impl="auto"):
     (h, kvt), _ = jax.lax.scan(
         body, (x, KVStackedView.of(cache, 0).carry()), jnp.arange(cfg.n_layers)
     )
-    logits = dec.unembed(cfg, params, h)[:, 0]  # (B, V)
-    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = dec.unembed(cfg, params, h)  # (B, Lw, V)
+    return logits, KVCache(*kvt, length=cache.length)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "impl"))
+def _decode_step(cfg, params, tokens, cache, positions, active, impl="auto",
+                 samp=None):
+    """One per-row decode step for all slots.
+
+    tokens (B,) int32; positions (B,) int32 (where the new token sits);
+    active (B,) bool; samp None (greedy) or (base_key, uids, temps, top_ks,
+    top_ps) per-row sampling arrays. Returns (next_tokens (B,), cache).
+    """
+    logits, new_cache = _rows_forward(
+        cfg, params, tokens[:, None], cache, positions, impl
+    )
+    logits = logits[:, 0]  # (B, V)
+    if samp is None:
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        base_key, uids, temps, top_ks, top_ps = samp
+        nxt = sample_per_row(
+            logits, base_key, uids, positions, temps, top_ks, top_ps
+        )
     nxt = jnp.where(active, nxt, 0)
-    new_cache = KVCache(*kvt, length=cache.length)
     return nxt, new_cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg_t", "cfg_d", "k", "impl"))
+def _spec_decode_step(
+    cfg_t, params_t, cfg_d, params_d, tokens, t_cache, d_cache, positions,
+    active, k, impl="auto",
+):
+    """One speculative continuous-batching step: draft k tokens per row
+    greedily, verify all rows in ONE (B, k+1) per-row target forward.
+
+    Returns (votes (B, k+1), n_acc (B,), t_cache, d_cache): row b emits
+    ``votes[b, :n_acc[b]+1]`` and its next feed token is
+    ``votes[b, n_acc[b]]`` at position ``positions[b] + n_acc[b] + 1``.
+    Greedy-exact: emitted tokens match the non-speculative greedy engine.
+
+    k+1 draft steps (not k): the extra step writes draft KV at position
+    c+k so a fully-accepted round leaves no hole in the draft cache (see
+    serve.speculative._spec_generate, same invariant per row).
+    """
+    B = tokens.shape[0]
+
+    def d_body(carry, i):
+        dc, tok = carry
+        lg, dc = _rows_forward(
+            cfg_d, params_d, tok[:, None], dc, positions + i, impl
+        )
+        nxt = jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32)
+        return (dc, nxt), nxt
+
+    (d_cache, _), drafts = jax.lax.scan(
+        d_body, (d_cache, tokens), jnp.arange(k + 1)
+    )
+    drafts = jnp.transpose(drafts[:k])  # (B, k)
+
+    toks = jnp.concatenate([tokens[:, None], drafts], axis=1)  # (B, k+1)
+    vlogits, t_cache = _rows_forward(
+        cfg_t, params_t, toks, t_cache, positions, impl
+    )
+    votes = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)  # (B, k+1)
+
+    ok = drafts == votes[:, :k]  # (B, k)
+    n_acc = jnp.argmin(
+        jnp.concatenate([ok, jnp.zeros((B, 1), bool)], axis=1), axis=1
+    ).astype(jnp.int32)  # first False per row; k if all accepted
+    n_acc = jnp.where(active, n_acc, 0)
+    votes = jnp.where(active[:, None], votes, 0)
+    return votes, n_acc, t_cache, d_cache
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "slot", "impl"))
-def _prefill_into_slot(cfg, params, prompt, true_len, cache, slot: int, impl="auto"):
+def _prefill_into_slot(cfg, params, prompt, true_len, cache, slot: int,
+                       impl="auto", samp=None):
     """Prefill one right-padded (1, Lb) prompt on a temp 1-row cache and
     scatter its rows into pool slot ``slot``.
 
@@ -152,7 +241,15 @@ def _prefill_into_slot(cfg, params, prompt, true_len, cache, slot: int, impl="au
         v_scale=None if cache.v_scale is None else put(cache.v_scale, tvs),
         length=cache.length,
     )
-    return jnp.argmax(logits[0]).astype(jnp.int32), cache
+    if samp is None:
+        tok = jnp.argmax(logits[0]).astype(jnp.int32)
+    else:
+        base_key, uid, temp, top_k, top_p = samp
+        tok = sample_per_row(
+            logits, base_key, uid[None], (true_len - 1)[None],
+            temp[None], top_k[None], top_p[None],
+        )[0]
+    return tok, cache
 
 
 class ServeEngine:
@@ -170,6 +267,9 @@ class ServeEngine:
         decode_fn=None,
         kv_heads: Optional[int] = None,
         cache_factory=None,
+        seed: int = 0,
+        draft=None,
+        spec_k: int = 4,
     ):
         """``prefill_fn``/``decode_fn`` override the default jitted programs
         with strategy-specific ones sharing the same contracts — e.g.
@@ -180,7 +280,16 @@ class ServeEngine:
         (unused by the TP fns, which shard the standard pool);
         ``cache_factory(cfg, max_batch, max_len)`` replaces the pool
         entirely — the engine treats the cache as opaque state threaded
-        through the prefill/decode fns."""
+        through the prefill/decode fns.
+
+        ``seed`` keys per-request sampling (requests submitted with a
+        SamplingConfig; greedy rows stay exact argmax).
+
+        ``draft=(cfg_d, params_d)`` enables speculative decoding: a draft
+        pool mirrors the target pool and every step drafts ``spec_k``
+        tokens per row + verifies them in one per-row target forward.
+        Greedy-token-exact vs the plain engine; requires the default
+        prefill/decode programs and non-sliding-window configs."""
         self.cfg = cfg
         self.params = params
         self.B = max_batch
@@ -188,6 +297,29 @@ class ServeEngine:
         self.impl = impl
         self._prefill_fn = prefill_fn or _prefill_into_slot
         self._decode_fn = decode_fn or _decode_step
+        self._base_key = jax.random.PRNGKey(seed)
+        self.temps = np.zeros(max_batch, np.float32)
+        self.topks = np.zeros(max_batch, np.int32)
+        self.topps = np.ones(max_batch, np.float32)
+        self.uids = np.zeros(max_batch, np.int32)
+        self.draft = draft
+        self.spec_k = spec_k
+        if draft is not None:
+            cfg_d, _ = draft
+            if prefill_fn or decode_fn or cache_factory:
+                raise ValueError(
+                    "speculative decoding requires the default engine "
+                    "programs (no prefill_fn/decode_fn/cache_factory)"
+                )
+            if cfg.has_sliding or cfg_d.has_sliding:
+                raise ValueError(
+                    "speculative engine does not support sliding-window "
+                    "configs yet (per-row windowed verify vs window mask)"
+                )
+            if cfg_d.vocab_size != cfg.vocab_size:
+                raise ValueError("draft and target must share a vocabulary")
+            self.d_cache = init_cache(cfg_d, max_batch, max_len)
+            self.stats_spec = {"rounds": 0, "drafted": 0, "accepted": 0}
         if cache_factory is not None:
             if kv_quant or kv_heads is not None:
                 raise ValueError(
@@ -219,13 +351,25 @@ class ServeEngine:
         }
 
     def submit(
-        self, prompt, max_new: int, eos_id: Optional[int] = None
+        self,
+        prompt,
+        max_new: int,
+        eos_id: Optional[int] = None,
+        sampling: Optional[SamplingConfig] = None,
     ) -> Request:
+        if sampling is not None and sampling.greedy:
+            sampling = None
+        if sampling is not None and self.draft is not None:
+            raise ValueError(
+                "speculative engine verifies greedily; per-request sampling "
+                "+ speculation is not supported yet"
+            )
         req = Request(
             uid=self._uid,
             prompt=np.asarray(prompt, np.int32).reshape(-1),
             max_new=max_new,
             eos_id=eos_id,
+            sampling=sampling,
         )
         self._uid += 1
         self.queue.append(req)
@@ -238,22 +382,49 @@ class ServeEngine:
                 continue
             req = self.queue.pop(0)
             Lp = len(req.prompt)
-            if Lp + req.max_new > self.M:
+            budget = req.max_new + (
+                self.spec_k + 1 if self.draft is not None else 0
+            )
+            if Lp + budget > self.M:
                 req.done = True  # reject: too long for the pool
                 req.out = []
                 continue
             Lb = min(_bucket(Lp), self.M)
             padded = np.zeros(Lb, np.int32)
             padded[:Lp] = req.prompt
-            nxt, self.cache = self._prefill_fn(
-                self.cfg,
-                self.params,
-                jnp.asarray(padded[None, :]),
-                jnp.int32(Lp),
-                self.cache,
-                slot,
-                self.impl,
+            sc = req.sampling
+            self.uids[slot] = req.uid
+            self.temps[slot] = sc.temperature if sc else 0.0
+            self.topks[slot] = sc.top_k if sc else 0
+            self.topps[slot] = sc.top_p if sc else 1.0
+            samp = None
+            if sc is not None:
+                samp = (
+                    self._base_key,
+                    jnp.int32(req.uid),
+                    jnp.float32(sc.temperature),
+                    jnp.int32(sc.top_k),
+                    jnp.float32(sc.top_p),
+                )
+            # samp passed only when sampling: keeps the (cfg, params,
+            # prompt, true_len, cache, slot, impl) contract for greedy
+            # strategy overrides; a sampled request against an override
+            # without samp support fails loudly (TypeError).
+            pf_args = (
+                self.cfg, self.params, jnp.asarray(padded[None, :]),
+                jnp.int32(Lp), self.cache, slot, self.impl,
             )
+            nxt, self.cache = (
+                self._prefill_fn(*pf_args)
+                if samp is None
+                else self._prefill_fn(*pf_args, samp)
+            )
+            if self.draft is not None:
+                cfg_d, params_d = self.draft
+                _, self.d_cache = _prefill_into_slot(
+                    cfg_d, params_d, jnp.asarray(padded[None, :]),
+                    jnp.int32(Lp), self.d_cache, slot, self.impl,
+                )
             first = int(nxt)
             req.out.append(first)
             self.slots[slot] = req
@@ -274,19 +445,34 @@ class ServeEngine:
             self.stats["completed"] += 1
 
     def step(self) -> bool:
-        """Admit + advance all active slots one token. False when idle."""
+        """Admit + advance all active slots (one token, or up to spec_k+1
+        with speculation). False when idle."""
         self._admit()
         active = np.array([r is not None for r in self.slots])
         if not active.any():
             return bool(self.queue)
-        nxt, self.cache = self._decode_fn(
-            self.cfg,
-            self.params,
-            jnp.asarray(self.tokens),
-            self.cache,
-            jnp.asarray(self.positions),
-            jnp.asarray(active),
-            self.impl,
+        if self.draft is not None:
+            return self._step_spec(active)
+        samp = None
+        if any(
+            self.slots[s] is not None and self.slots[s].sampling is not None
+            for s in range(self.B)
+        ):
+            samp = (
+                self._base_key,
+                jnp.asarray(self.uids),
+                jnp.asarray(self.temps),
+                jnp.asarray(self.topks),
+                jnp.asarray(self.topps),
+            )
+        dc_args = (
+            self.cfg, self.params, jnp.asarray(self.tokens), self.cache,
+            jnp.asarray(self.positions), jnp.asarray(active), self.impl,
+        )
+        nxt, self.cache = (
+            self._decode_fn(*dc_args)
+            if samp is None
+            else self._decode_fn(*dc_args, samp)
         )
         nxt = np.asarray(nxt)
         self.stats["steps"] += 1
@@ -297,6 +483,43 @@ class ServeEngine:
             self.tokens[slot] = nxt[slot]
             self.slots[slot].out.append(int(nxt[slot]))
             self.stats["tokens"] += 1
+            self._maybe_finish(slot)
+        elapsed = max(self._time.time() - self._t0, 1e-9)
+        self.stats["tokens_per_s"] = round(self.stats["tokens"] / elapsed, 2)
+        return True
+
+    def _step_spec(self, active: np.ndarray) -> bool:
+        """One speculative step: every active row advances 1..spec_k+1
+        tokens (accepted draft prefix + the verify bonus token)."""
+        cfg_d, params_d = self.draft
+        votes, n_acc, self.cache, self.d_cache = _spec_decode_step(
+            self.cfg, self.params, cfg_d, params_d,
+            jnp.asarray(self.tokens), self.cache, self.d_cache,
+            jnp.asarray(self.positions), jnp.asarray(active),
+            self.spec_k, self.impl,
+        )
+        votes = np.asarray(votes)
+        n_acc = np.asarray(n_acc)
+        self.stats["steps"] += 1
+        self.stats_spec["rounds"] += int(active.sum())
+        self.stats_spec["drafted"] += int(active.sum()) * self.spec_k
+        for slot in range(self.B):
+            req = self.slots[slot]
+            if req is None:
+                continue
+            take = int(n_acc[slot]) + 1
+            self.stats_spec["accepted"] += int(n_acc[slot])
+            # cache state advanced take tokens regardless of host-side
+            # truncation (a truncated request retires, freeing the slot)
+            self.positions[slot] += take
+            self.tokens[slot] = int(votes[slot, take - 1])
+            for j in range(take):
+                req.out.append(int(votes[slot, j]))
+                self.stats["tokens"] += 1
+                if len(req.out) >= req.max_new or (
+                    req.eos_id is not None and req.out[-1] == req.eos_id
+                ):
+                    break
             self._maybe_finish(slot)
         elapsed = max(self._time.time() - self._t0, 1e-9)
         self.stats["tokens_per_s"] = round(self.stats["tokens"] / elapsed, 2)

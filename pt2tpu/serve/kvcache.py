@@ -119,22 +119,24 @@ class KVLayerView:
     def write_rows(
         self, k_new: jax.Array, v_new: jax.Array, positions: jax.Array
     ) -> "KVLayerView":
-        """Per-row single-token write: (B, 1, Hkv, hd) at positions (B,) —
-        the continuous-batching decode path where every slot sits at its own
-        sequence position."""
-        B = k_new.shape[0]
-        rows = jnp.arange(B)
+        """Per-row windowed write: (B, Lw, Hkv, hd) starting at per-row
+        ``positions`` (B,) — the continuous-batching decode path (Lw == 1:
+        every slot at its own position) and the speculative verify path
+        (Lw == k+1 draft window per slot)."""
+        B, Lw = k_new.shape[:2]
+        rows = jnp.arange(B)[:, None]  # (B, 1)
+        cols = positions[:, None] + jnp.arange(Lw)[None, :]  # (B, Lw)
         if self.k_scale is None:
-            k = self.k.at[rows, positions].set(k_new[:, 0].astype(self.k.dtype))
-            v = self.v.at[rows, positions].set(v_new[:, 0].astype(self.v.dtype))
+            k = self.k.at[rows, cols].set(k_new.astype(self.k.dtype))
+            v = self.v.at[rows, cols].set(v_new.astype(self.v.dtype))
             return KVLayerView(k, v, None, None)
         kq, ks = _quantize_i8(k_new)
         vq, vs = _quantize_i8(v_new)
         return KVLayerView(
-            k=self.k.at[rows, positions].set(kq[:, 0]),
-            v=self.v.at[rows, positions].set(vq[:, 0]),
-            k_scale=self.k_scale.at[rows, positions].set(ks[:, 0]),
-            v_scale=self.v_scale.at[rows, positions].set(vs[:, 0]),
+            k=self.k.at[rows, cols].set(kq),
+            v=self.v.at[rows, cols].set(vq),
+            k_scale=self.k_scale.at[rows, cols].set(ks),
+            v_scale=self.v_scale.at[rows, cols].set(vs),
         )
 
     def read(self, dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
@@ -218,25 +220,23 @@ class KVStackedView:
     def write_rows(
         self, k_new: jax.Array, v_new: jax.Array, positions: jax.Array
     ) -> "KVStackedView":
-        """Per-row single-token write at ``positions`` (B,) of layer li."""
-        B = k_new.shape[0]
-        rows = jnp.arange(B)
-        li = jnp.broadcast_to(self.li, (B,))
+        """Per-row windowed write: (B, Lw, Hkv, hd) starting at per-row
+        ``positions`` (B,) of layer li (see KVLayerView.write_rows)."""
+        B, Lw = k_new.shape[:2]
+        rows = jnp.arange(B)[:, None]  # (B, 1)
+        cols = positions[:, None] + jnp.arange(Lw)[None, :]  # (B, Lw)
+        li = jnp.broadcast_to(self.li, (B, Lw))
         if self.k_scale is None:
-            k = self.k.at[li, rows, positions].set(
-                k_new[:, 0].astype(self.k.dtype)
-            )
-            v = self.v.at[li, rows, positions].set(
-                v_new[:, 0].astype(self.v.dtype)
-            )
+            k = self.k.at[li, rows, cols].set(k_new.astype(self.k.dtype))
+            v = self.v.at[li, rows, cols].set(v_new.astype(self.v.dtype))
             return KVStackedView(k, v, None, None, self.li)
         kq, ks = _quantize_i8(k_new)
         vq, vs = _quantize_i8(v_new)
         return KVStackedView(
-            k=self.k.at[li, rows, positions].set(kq[:, 0]),
-            v=self.v.at[li, rows, positions].set(vq[:, 0]),
-            k_scale=self.k_scale.at[li, rows, positions].set(ks[:, 0]),
-            v_scale=self.v_scale.at[li, rows, positions].set(vs[:, 0]),
+            k=self.k.at[li, rows, cols].set(kq),
+            v=self.v.at[li, rows, cols].set(vq),
+            k_scale=self.k_scale.at[li, rows, cols].set(ks),
+            v_scale=self.v_scale.at[li, rows, cols].set(vs),
             li=self.li,
         )
 

@@ -276,7 +276,7 @@ def ring_generate(
 # ------------------------------------------------- engine integration ----
 @functools.partial(jax.jit, static_argnames=("cfg", "impl"))
 def _ring_decode_step(cfg, params, tokens, caches, positions, active,
-                      impl="auto"):
+                      impl="auto", samp=None):
     """Per-row decode over split pools (ServeEngine decode_fn contract):
     sliding layers write/attend their window ring, globals the full pool."""
     B = tokens.shape[0]
@@ -337,13 +337,22 @@ def _ring_decode_step(cfg, params, tokens, caches, positions, active,
         body, (x, caches.glob, caches.ring), jnp.arange(cfg.n_layers)
     )
     logits = dec.unembed(cfg, params, h)[:, 0]
-    nxt = jnp.where(active, jnp.argmax(logits, axis=-1).astype(jnp.int32), 0)
+    if samp is None:
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        from .sampling import sample_per_row
+
+        base_key, uids, temps, top_ks, top_ps = samp
+        nxt = sample_per_row(
+            logits, base_key, uids, positions, temps, top_ks, top_ps
+        )
+    nxt = jnp.where(active, nxt, 0)
     return nxt, RingCaches(glob=glob, ring=ring)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "slot", "impl"))
 def _ring_prefill_into_slot(cfg, params, prompt, true_len, caches, slot,
-                            impl="auto"):
+                            impl="auto", samp=None):
     """Prefill one padded (1, Lb) prompt on a temp flat cache, then scatter
     per layer kind: globals take rows [0, M); sliding layers take the ring
     gather slot s <- position t-1-((t-1-s) mod W) (pads at >= t are never
@@ -403,10 +412,17 @@ def _ring_prefill_into_slot(cfg, params, prompt, true_len, caches, slot,
                 k=ring.k.at[ki, slot].set(rk),
                 v=ring.v.at[ki, slot].set(rv),
             )
-    return (
-        jnp.argmax(logits[0]).astype(jnp.int32),
-        RingCaches(glob=glob, ring=ring),
-    )
+    if samp is None:
+        tok = jnp.argmax(logits[0]).astype(jnp.int32)
+    else:
+        from .sampling import sample_per_row
+
+        base_key, uid, temp, top_k, top_p = samp
+        tok = sample_per_row(
+            logits, base_key, uid[None], (true_len - 1)[None],
+            temp[None], top_k[None], top_p[None],
+        )[0]
+    return tok, RingCaches(glob=glob, ring=ring)
 
 
 def make_ring_engine_fns(cfg: dec.ModelConfig, impl: str = "auto"):
@@ -420,14 +436,17 @@ def make_ring_engine_fns(cfg: dec.ModelConfig, impl: str = "auto"):
                           cache_factory=factory)
     """
 
-    def prefill_fn(cfg_, params_, prompt, true_len, caches, slot, impl_=None):
+    def prefill_fn(cfg_, params_, prompt, true_len, caches, slot, impl_=None,
+                   samp=None):
         return _ring_prefill_into_slot(
-            cfg, params_, prompt, jnp.int32(true_len), caches, slot, impl
+            cfg, params_, prompt, jnp.int32(true_len), caches, slot, impl,
+            samp,
         )
 
-    def decode_fn(cfg_, params_, tokens, caches, positions, active, impl_=None):
+    def decode_fn(cfg_, params_, tokens, caches, positions, active,
+                  impl_=None, samp=None):
         return _ring_decode_step(
-            cfg, params_, tokens, caches, positions, active, impl
+            cfg, params_, tokens, caches, positions, active, impl, samp
         )
 
     def cache_factory(cfg_, max_batch, max_len):

@@ -13,7 +13,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SamplingConfig", "sample"]
+__all__ = ["SamplingConfig", "sample", "sample_per_row"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,3 +55,49 @@ def sample(
         logits = jnp.where(logits >= cutoff_val, logits, -jnp.inf)
 
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def sample_per_row(
+    logits: jax.Array,  # (B, V)
+    base_key: jax.Array,  # PRNG key
+    uids: jax.Array,  # (B,) int32 request ids
+    positions: jax.Array,  # (B,) int32 input-token positions
+    temps: jax.Array,  # (B,) f32; <= 0 => greedy row
+    top_ks: jax.Array,  # (B,) int32; 0 => disabled
+    top_ps: jax.Array,  # (B,) f32; >= 1 => disabled
+) -> jax.Array:
+    """Per-row sampling with PER-ROW parameters — the continuous-batching
+    engine's sampler, where every slot carries its own request's
+    temperature/top-k/top-p (see serve.engine.ServeEngine).
+
+    Same semantics per row as :func:`sample`; rows with ``temps <= 0`` take
+    the exact argmax (bitwise-identical to the greedy engine). Each row's
+    key is ``fold_in(fold_in(base_key, uid), position)`` — deterministic per
+    (seed, request, token index), independent of batch composition and
+    admission order.
+    """
+    B, V = logits.shape
+    lf = logits.astype(jnp.float32)
+    greedy_tok = jnp.argmax(lf, axis=-1).astype(jnp.int32)
+
+    lt = lf / jnp.maximum(temps, 1e-6)[:, None]
+    desc = jnp.sort(lt, axis=-1)[:, ::-1]
+    kidx = jnp.clip(top_ks - 1, 0, V - 1)
+    kth = jnp.take_along_axis(desc, kidx[:, None], axis=-1)
+    lt = jnp.where((top_ks[:, None] > 0) & (lt < kth), -jnp.inf, lt)
+
+    desc2 = jnp.sort(lt, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(desc2, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.clip(
+        jnp.sum(cum < top_ps[:, None], axis=-1), 0, V - 1
+    )
+    cutoff_val = jnp.take_along_axis(desc2, cutoff_idx[:, None], axis=-1)
+    lt = jnp.where((top_ps[:, None] < 1.0) & (lt < cutoff_val), -jnp.inf, lt)
+
+    def row_key(u, p):
+        return jax.random.fold_in(jax.random.fold_in(base_key, u), p)
+
+    keys = jax.vmap(row_key)(uids, positions)
+    sampled = jax.vmap(jax.random.categorical)(keys, lt).astype(jnp.int32)
+    return jnp.where(temps <= 0.0, greedy_tok, sampled)
