@@ -270,6 +270,7 @@ class ServeEngine:
         seed: int = 0,
         draft=None,
         spec_k: int = 4,
+        multihost: bool = False,
     ):
         """``prefill_fn``/``decode_fn`` override the default jitted programs
         with strategy-specific ones sharing the same contracts — e.g.
@@ -289,7 +290,14 @@ class ServeEngine:
         pool mirrors the target pool and every step drafts ``spec_k``
         tokens per row + verifies them in one per-row target forward.
         Greedy-token-exact vs the plain engine; requires the default
-        prefill/decode programs and non-sliding-window configs."""
+        prefill/decode programs and non-sliding-window configs.
+
+        ``multihost=True`` runs the scheduler on a multi-process JAX
+        cluster: process 0 owns the request queue and plans admissions;
+        the per-step plan (slots, prompts, sampling params) is broadcast
+        with ``multihost_utils.broadcast_one_to_all`` so every process
+        executes the IDENTICAL sequence of jitted prefill/decode programs
+        (the SPMD requirement). Submit requests on process 0 only."""
         self.cfg = cfg
         self.params = params
         self.B = max_batch
@@ -333,6 +341,10 @@ class ServeEngine:
             self.cache = init_cache(
                 cache_cfg, max_batch, max_len, quantized=kv_quant
             )
+        self._mh = bool(multihost) and jax.process_count() > 1
+        self._proc0 = jax.process_index() == 0
+        self._mh_has_queue = False
+        self.finished: List[Request] = []  # retired requests, in order
         self.queue: List[Request] = []
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.positions = np.zeros(max_batch, np.int32)  # next write position
@@ -376,62 +388,139 @@ class ServeEngine:
         return req
 
     # ---------------------------------------------------- scheduling ----
-    def _admit(self) -> None:
+    def _plan_admissions(self) -> List:
+        """Host-side admission decisions (pops the queue; no device work).
+        Returns [(slot, Request), ...] — at most one per free slot."""
+        plans = []
+        budget = self.spec_k + 1 if self.draft is not None else 0
         for slot in range(self.B):
-            if self.slots[slot] is not None or not self.queue:
+            if self.slots[slot] is not None:
                 continue
-            req = self.queue.pop(0)
-            Lp = len(req.prompt)
-            budget = req.max_new + (
-                self.spec_k + 1 if self.draft is not None else 0
+            while self.queue:
+                req = self.queue.pop(0)
+                if len(req.prompt) + req.max_new + budget > self.M:
+                    req.done = True  # reject: too long for the pool
+                    req.out = []
+                    self.finished.append(req)
+                    continue
+                plans.append((slot, req))
+                break
+        return plans
+
+    def _exec_admission(self, slot: int, req: Request) -> None:
+        """Run the (deterministic, device-touching) admission: prefill into
+        ``slot`` + slot bookkeeping. In multihost mode every process calls
+        this with identical arguments."""
+        Lp = len(req.prompt)
+        Lb = min(_bucket(Lp), self.M)
+        padded = np.zeros(Lb, np.int32)
+        padded[:Lp] = req.prompt
+        sc = req.sampling
+        self.uids[slot] = req.uid
+        self.temps[slot] = sc.temperature if sc else 0.0
+        self.topks[slot] = sc.top_k if sc else 0
+        self.topps[slot] = sc.top_p if sc else 1.0
+        samp = None
+        if sc is not None:
+            samp = (
+                self._base_key,
+                jnp.int32(req.uid),
+                jnp.float32(sc.temperature),
+                jnp.int32(sc.top_k),
+                jnp.float32(sc.top_p),
             )
-            if Lp + budget > self.M:
-                req.done = True  # reject: too long for the pool
-                req.out = []
-                continue
-            Lb = min(_bucket(Lp), self.M)
-            padded = np.zeros(Lb, np.int32)
-            padded[:Lp] = req.prompt
-            sc = req.sampling
-            self.uids[slot] = req.uid
-            self.temps[slot] = sc.temperature if sc else 0.0
-            self.topks[slot] = sc.top_k if sc else 0
-            self.topps[slot] = sc.top_p if sc else 1.0
-            samp = None
-            if sc is not None:
-                samp = (
-                    self._base_key,
-                    jnp.int32(req.uid),
-                    jnp.float32(sc.temperature),
-                    jnp.int32(sc.top_k),
-                    jnp.float32(sc.top_p),
-                )
-            # samp passed only when sampling: keeps the (cfg, params,
-            # prompt, true_len, cache, slot, impl) contract for greedy
-            # strategy overrides; a sampled request against an override
-            # without samp support fails loudly (TypeError).
-            pf_args = (
-                self.cfg, self.params, jnp.asarray(padded[None, :]),
-                jnp.int32(Lp), self.cache, slot, self.impl,
+        # samp passed only when sampling: keeps the (cfg, params,
+        # prompt, true_len, cache, slot, impl) contract for greedy
+        # strategy overrides; a sampled request against an override
+        # without samp support fails loudly (TypeError).
+        pf_args = (
+            self.cfg, self.params, jnp.asarray(padded[None, :]),
+            jnp.int32(Lp), self.cache, slot, self.impl,
+        )
+        nxt, self.cache = (
+            self._prefill_fn(*pf_args)
+            if samp is None
+            else self._prefill_fn(*pf_args, samp)
+        )
+        if self.draft is not None:
+            cfg_d, params_d = self.draft
+            _, self.d_cache = _prefill_into_slot(
+                cfg_d, params_d, jnp.asarray(padded[None, :]),
+                jnp.int32(Lp), self.d_cache, slot, self.impl,
             )
-            nxt, self.cache = (
-                self._prefill_fn(*pf_args)
-                if samp is None
-                else self._prefill_fn(*pf_args, samp)
+        first = int(nxt)
+        req.out.append(first)
+        self.slots[slot] = req
+        self.positions[slot] = Lp
+        self.tokens[slot] = first
+        self.stats["admitted"] += 1
+        self._maybe_finish(slot)
+
+    def _admit(self) -> None:
+        if not self._mh:
+            for slot, req in self._plan_admissions():
+                self._exec_admission(slot, req)
+            return
+        from jax.experimental import multihost_utils
+
+        B, M = self.B, self.M
+        rec = {
+            "n": np.zeros((), np.int32),
+            "has_queue": np.zeros((), np.int32),
+            "slot": np.zeros(B, np.int32),
+            "uid": np.zeros(B, np.int32),
+            "lp": np.zeros(B, np.int32),
+            "max_new": np.zeros(B, np.int32),
+            "eos": np.full(B, -1, np.int32),
+            "temp": np.zeros(B, np.float32),
+            "topk": np.zeros(B, np.int32),
+            "topp": np.ones(B, np.float32),
+            "prompt": np.zeros((B, M), np.int32),
+        }
+        plans = []
+        if self._proc0:
+            plans = self._plan_admissions()
+            rec["n"] = np.int32(len(plans))
+            rec["has_queue"] = np.int32(bool(self.queue))
+            for i, (slot, req) in enumerate(plans):
+                rec["slot"][i] = slot
+                rec["uid"][i] = req.uid
+                rec["lp"][i] = len(req.prompt)
+                rec["max_new"][i] = req.max_new
+                rec["eos"][i] = -1 if req.eos_id is None else req.eos_id
+                sc = req.sampling
+                if sc is not None:
+                    rec["temp"][i] = sc.temperature
+                    rec["topk"][i] = sc.top_k
+                    rec["topp"][i] = sc.top_p
+                rec["prompt"][i, : len(req.prompt)] = req.prompt
+        rec = jax.tree_util.tree_map(
+            np.asarray, multihost_utils.broadcast_one_to_all(rec)
+        )
+        self._mh_has_queue = bool(rec["has_queue"])
+        if self._proc0:
+            for slot, req in plans:
+                self._exec_admission(slot, req)
+            return
+        for i in range(int(rec["n"])):
+            lp = int(rec["lp"][i])
+            temp = float(rec["temp"][i])
+            req = Request(
+                uid=int(rec["uid"][i]),
+                prompt=rec["prompt"][i, :lp].astype(np.int32),
+                max_new=int(rec["max_new"][i]),
+                eos_id=None if rec["eos"][i] < 0 else int(rec["eos"][i]),
+                sampling=(
+                    SamplingConfig(
+                        temperature=temp,
+                        top_k=int(rec["topk"][i]),
+                        top_p=float(rec["topp"][i]),
+                    )
+                    if temp > 0
+                    else None
+                ),
             )
-            if self.draft is not None:
-                cfg_d, params_d = self.draft
-                _, self.d_cache = _prefill_into_slot(
-                    cfg_d, params_d, jnp.asarray(padded[None, :]),
-                    jnp.int32(Lp), self.d_cache, slot, self.impl,
-                )
-            first = int(nxt)
-            req.out.append(first)
-            self.slots[slot] = req
-            self.positions[slot] = Lp
-            self.tokens[slot] = first
-            self.stats["admitted"] += 1
-            self._maybe_finish(slot)
+            self._exec_admission(int(rec["slot"][i]), req)
 
     def _maybe_finish(self, slot: int) -> None:
         req = self.slots[slot]
@@ -442,6 +531,7 @@ class ServeEngine:
         ):
             req.done = True
             self.slots[slot] = None
+            self.finished.append(req)
             self.stats["completed"] += 1
 
     def step(self) -> bool:
@@ -450,6 +540,8 @@ class ServeEngine:
         self._admit()
         active = np.array([r is not None for r in self.slots])
         if not active.any():
+            if self._mh and not self._proc0:
+                return self._mh_has_queue
             return bool(self.queue)
         if self.draft is not None:
             return self._step_spec(active)
@@ -526,10 +618,8 @@ class ServeEngine:
         return True
 
     def run(self, max_steps: int = 100000) -> None:
-        """Drain the queue completely."""
+        """Drain the queue completely (all processes call this together
+        in multihost mode; step() keeps them in lockstep)."""
         steps = 0
-        while (self.queue or any(s is not None for s in self.slots)) and (
-            steps < max_steps
-        ):
-            self.step()
+        while steps < max_steps and self.step():
             steps += 1
