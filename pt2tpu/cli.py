@@ -35,7 +35,16 @@ def _resolve_model(name_or_path: str, dtype, seed: int = 0):
     if os.path.isdir(name_or_path):
         from .models.hf_loader import load_hf_model
 
-        return load_hf_model(name_or_path, dtype=dtype) + ("hf",)
+        # Checkpoints near/over single-chip HBM load host-resident; the
+        # quantization pipeline then streams one layer at a time to the
+        # device (quant/pipeline.py 'stream' path).
+        ckpt_bytes = sum(
+            os.path.getsize(os.path.join(name_or_path, f))
+            for f in os.listdir(name_or_path)
+            if f.endswith((".safetensors", ".bin"))
+        )
+        host = ckpt_bytes > 4 << 30 and jax.default_backend() != "cpu"
+        return load_hf_model(name_or_path, dtype=dtype, host=host) + ("hf",)
     cfg = get_config(name_or_path)
     params = dec.init_params(cfg, jax.random.PRNGKey(seed), dtype=dtype)
     return cfg, params, "random-init"

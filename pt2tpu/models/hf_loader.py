@@ -21,6 +21,7 @@ import json
 import os
 from typing import Any, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -386,9 +387,24 @@ def _gpt2_layers(cfg, t, dtype):
 
 
 def load_hf_model(
+    model_dir: str, dtype=jnp.bfloat16, host: bool = False
+) -> Tuple[ModelConfig, Dict[str, Any]]:
+    """(ModelConfig, params) from a local HF checkpoint directory.
+
+    ``host=True`` builds every parameter on the CPU device instead of the
+    default accelerator — for models near/over single-chip HBM (e.g. a
+    bf16 7B on a 16 GB chip), quant.pipeline then STREAMS one layer at a
+    time to the device (quantize_model auto-detects host residency).
+    """
+    if host:
+        with jax.default_device(jax.devices("cpu")[0]):
+            return _load_hf_model(model_dir, dtype)
+    return _load_hf_model(model_dir, dtype)
+
+
+def _load_hf_model(
     model_dir: str, dtype=jnp.bfloat16
 ) -> Tuple[ModelConfig, Dict[str, Any]]:
-    """(ModelConfig, params) from a local HF checkpoint directory."""
     cfg = config_from_hf(model_dir)
     t = read_hf_tensors(model_dir)
     fam = cfg.family

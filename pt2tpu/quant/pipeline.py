@@ -165,11 +165,34 @@ def quantize_model(
         start_layer = len(prequantized_layers)
         if start_layer:
             log.emit("resume_from_journal", layers=start_layer)
+    # Host-resident params (hf_loader.load_hf_model(host=True)) stream one
+    # layer at a time to the accelerator — a bf16 7B never fits next to
+    # calibration state on a 16 GB chip, but one 0.4 GB layer always does.
+    stream = (
+        mesh is None
+        and jax.default_backend() != "cpu"
+        and all(
+            d.platform == "cpu" for d in params["embed"].devices()
+        )
+    )
+    dev = jax.devices()[0] if stream else None
+    if stream:
+        log.emit("streaming_quantization", device=str(dev))
+
     N, L = calib_tokens.shape
     bs = min(qcfg.batch_size, N)
 
-    emb = jax.jit(lambda toks: dec.embed_tokens(cfg, params, toks))
-    hidden = [emb(calib_tokens[i : i + bs]) for i in range(0, N, bs)]
+    # Embed params pass as jit ARGUMENTS (a closed-over array lowers to an
+    # inlined MLIR constant — a full extra copy of the embedding table).
+    emb_keys = ("embed", "pos_embed", "emb_ln_w", "emb_ln_b")
+    emb_params = {k: params.get(k) for k in emb_keys}
+    if stream:
+        emb_params = jax.device_put(emb_params, dev)
+    emb = jax.jit(lambda p, toks: dec.embed_tokens(cfg, p, toks))
+    hidden = [
+        emb(emb_params, calib_tokens[i : i + bs]) for i in range(0, N, bs)
+    ]
+    del emb_params  # streaming: free the device copy before the layer loop
 
     cos, sin, cos_l, sin_l = dec.pos_tables(cfg, L)
     mask = dec.build_mask(cfg, L, L)
@@ -238,6 +261,8 @@ def quantize_model(
 
     for li in range(start_layer, cfg.n_layers):
         lp = dec.layer_slice(params["layers"], li)
+        if stream:
+            lp = jax.device_put(lp, dev)  # one dense layer on-chip at a time
 
         needed_taps = {tap for _, _, tap in groups}
         if cfg.is_moe:
@@ -352,19 +377,28 @@ def quantize_model(
             save_layer(journal_dir, li, new_lp)
 
     out_params = dict(params)
+    if stream:
+        # Non-layer leaves (embeddings, final norm, lm_head) move to the
+        # device now: with the dense layers gone the quantized model fits,
+        # and mixed host/device committed leaves would break later jits.
+        for k, v in out_params.items():
+            if k != "layers" and v is not None:
+                out_params[k] = jax.device_put(v, dev)
     out_params["layers"] = dec.stack_layers(new_layers)
 
-    if qcfg.quantize_lm_head and params.get("lm_head") is not None:
+    if qcfg.quantize_lm_head and out_params.get("lm_head") is not None:
         # Calibrate against what actually feeds the head: final-norm outputs.
         lnf = jax.jit(
-            lambda h: dec.layer_norm(h, params["lnf_w"], params["lnf_b"], cfg.norm_eps)
+            lambda h: dec.layer_norm(
+                h, out_params["lnf_w"], out_params["lnf_b"], cfg.norm_eps
+            )
             if cfg.norm == "layernorm"
-            else dec.rms_norm(h, params["lnf_w"], cfg.norm_eps)
+            else dec.rms_norm(h, out_params["lnf_w"], cfg.norm_eps)
         )
         acc = HessianAccumulator(cfg.dim)
         for h in hidden:
             acc.update(lnf(h))
-        packed, stats = quantize_linear(params["lm_head"], acc, qcfg)
+        packed, stats = quantize_linear(out_params["lm_head"], acc, qcfg)
         if qcfg.fold_perms and not packed.identity_perm:
             import dataclasses as _dc
 
