@@ -17,13 +17,17 @@ design: a ``shard_map`` over a 'stage' mesh axis where
     broadcast with a psum-style masked sum.
 
 Use for throughput-bound full forwards (perplexity eval, prefill) when the
-model does not fit one chip even ternarized. Latency-bound decode wants
-tensor parallelism (parallel/tp.py) instead — a pipeline bubble per token
-is the wrong trade.
+model does not fit one chip even ternarized — and, via
+:func:`pp_generate`, for staged DECODE: stage-local KV caches, the same
+wave schedule per token, bubble fraction (S-1)/(n_micro+S-1) amortized by
+keeping more microbatches in flight. Latency-bound small-batch decode
+still wants tensor parallelism (parallel/tp.py) — a pipeline bubble per
+token is the wrong trade there.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Dict, Optional
 
@@ -33,7 +37,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models import decoder as dec
 
-__all__ = ["pp_forward", "pp_stage_specs", "make_pp_forward_fn"]
+__all__ = [
+    "pp_forward", "pp_stage_specs", "make_pp_forward_fn", "pp_generate",
+    "make_pp_generate_fn",
+]
 
 
 def pp_stage_specs(params: Dict[str, Any], axis: str = "stage"):
@@ -138,6 +145,219 @@ def make_pp_forward_fn(
             check_vma=False,
         )
     )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class _MicroKV:
+    """KV-cache view for ONE pipeline microbatch over the stage's local
+    layer stack (Ls, B, M, Hkv, hd): reads/writes the mb-row block at
+    ``row0`` of layer ``li``. ``valid`` is False on pipeline-bubble waves —
+    the write then preserves the old cache (the bubble computes don't-care
+    data on a REAL row block, which must not be corrupted).
+
+    Duck-typed to models.decoder.layer_forward's cache contract
+    (write/read; no k_scale attr -> bf16 path)."""
+
+    k: jax.Array
+    v: jax.Array
+    li: jax.Array  # local layer index (scalar)
+    row0: jax.Array  # first row of the microbatch block (scalar)
+    valid: jax.Array  # () bool
+    mb: int  # static rows per microbatch
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.li, self.row0, self.valid), (self.mb,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, mb=aux[0])
+
+    def write(self, k_new: jax.Array, v_new: jax.Array, pos) -> "_MicroKV":
+        mb, L = k_new.shape[:2]
+        idx = (self.li, self.row0, pos, 0, 0)
+        shape = (1, mb, L) + k_new.shape[2:]
+        old_k = jax.lax.dynamic_slice(self.k, idx, shape)
+        old_v = jax.lax.dynamic_slice(self.v, idx, shape)
+        nk = jnp.where(self.valid, k_new[None].astype(self.k.dtype), old_k)
+        nv = jnp.where(self.valid, v_new[None].astype(self.v.dtype), old_v)
+        return _MicroKV(
+            k=jax.lax.dynamic_update_slice(self.k, nk, idx),
+            v=jax.lax.dynamic_update_slice(self.v, nv, idx),
+            li=self.li, row0=self.row0, valid=self.valid, mb=self.mb,
+        )
+
+    def read(self, dtype=jnp.bfloat16):
+        k_li = jax.lax.dynamic_index_in_dim(self.k, self.li, 0, keepdims=False)
+        v_li = jax.lax.dynamic_index_in_dim(self.v, self.li, 0, keepdims=False)
+        k = jax.lax.dynamic_slice_in_dim(k_li, self.row0, self.mb, axis=0)
+        v = jax.lax.dynamic_slice_in_dim(v_li, self.row0, self.mb, axis=0)
+        return k.astype(dtype), v.astype(dtype)
+
+
+def make_pp_generate_fn(
+    cfg: dec.ModelConfig,
+    mesh: Mesh,
+    params: Dict[str, Any],
+    B: int,
+    Lp: int,
+    max_new: int,
+    n_micro: int,
+    max_len: Optional[int] = None,
+    axis: str = "stage",
+    impl: str = "auto",
+):
+    """Compiled STAGED PIPELINE DECODE: (params, prompt (B, Lp)) ->
+    tokens (B, max_new), greedy.
+
+    Each stage holds n_layers/S contiguous layers AND their KV cache
+    (Ls, B, M, Hkv, hd); both prefill and every decoded token flow through
+    the classic GPipe wave schedule (n_micro + S - 1 waves per step), with
+    per-wave masked KV block writes so bubbles never corrupt cache rows.
+    Per-token bubble fraction is (S-1)/(n_micro + S - 1) — raise n_micro
+    (more rows in flight) to amortize it. Token-exact vs the single-device
+    greedy path (tests/test_pp.py).
+
+    The reference runs stages sequentially via HF device_map (ref
+    model.py:254-260) and has no decode loop at all; this is the TPU-SPMD
+    redesign (one jitted program, ppermute rotation, no host round-trips
+    per stage).
+    """
+    if cfg.has_sliding:
+        raise NotImplementedError(
+            "staged PP decode supports global-attention configs"
+        )
+    S = mesh.shape[axis]
+    if cfg.n_layers % S:
+        raise ValueError(f"n_layers {cfg.n_layers} % stages {S} != 0")
+    if B % n_micro:
+        raise ValueError(f"batch {B} % n_micro {n_micro} != 0")
+    Ls = cfg.n_layers // S
+    mb = B // n_micro
+    M = max_len or min(cfg.max_seq_len, Lp + max_new)
+    if Lp + max_new > M:
+        raise ValueError(f"prompt {Lp} + max_new {max_new} > max_len {M}")
+    T = n_micro + S - 1
+    cos_all, sin_all, _, _ = dec.pos_tables(cfg, M)
+    prefill_mask = dec.build_mask(cfg, Lp, M)
+    rot = [(i, i + 1) for i in range(S - 1)]
+
+    def run(params_, prompt):
+        sid = jax.lax.axis_index(axis)
+        local_layers = params_["layers"]  # this stage's (Ls, ...) slice
+
+        def local_stack(x, kk, vv, row0, valid, cos, sin, mask, kv_valid,
+                        pos):
+            def body(carry, i):
+                x, kk, vv = carry
+                view = _MicroKV(kk, vv, i, row0, valid, mb=mb)
+                lp = dec.layer_view(local_layers, i)
+                y, io = dec.layer_forward(
+                    cfg, lp, x, cos, sin, mask, cache=view, cache_pos=pos,
+                    kv_valid=kv_valid, impl=impl, layer_idx=i,
+                    global_layer_idx=sid * Ls + i,
+                )
+                return (y, io.kv.k, io.kv.v), None
+
+            (y, kk, vv), _ = jax.lax.scan(body, (x, kk, vv), jnp.arange(Ls))
+            return y, kk, vv
+
+        def pipeline_pass(x_all, kk, vv, cos, sin, mask, kv_valid, pos):
+            """Run (B, L, D) through the local stages via the wave
+            schedule; returns (last-stage hidden (B, L, D), kk, vv)."""
+            L = x_all.shape[1]
+            micro = x_all.reshape(n_micro, mb, L, -1)
+            buf = jnp.zeros_like(micro[0])
+            outs = jnp.zeros_like(micro)
+
+            def wave(t, carry):
+                buf, kk, vv, outs = carry
+                mi = t - sid
+                x_in = jnp.where(sid == 0, micro[jnp.clip(t, 0, n_micro - 1)], buf)
+                row0 = jnp.clip(mi, 0, n_micro - 1) * mb
+                valid = (mi >= 0) & (mi < n_micro)
+                y, kk, vv = local_stack(
+                    x_in, kk, vv, row0, valid, cos, sin, mask, kv_valid, pos
+                )
+                buf = jax.lax.ppermute(y, axis, perm=rot)
+                oi = t - (S - 1)
+                oc = jnp.maximum(oi, 0)
+                take = (sid == S - 1) & (oi >= 0)
+                outs = outs.at[oc].set(jnp.where(take, y, outs[oc]))
+                return buf, kk, vv, outs
+
+            _, kk, vv, outs = jax.lax.fori_loop(
+                0, T, wave, (buf, kk, vv, outs)
+            )
+            h = outs.reshape(B, L, -1)
+            h = jax.lax.psum(
+                jnp.where(sid == S - 1, h, jnp.zeros_like(h)), axis
+            )
+            return h, kk, vv
+
+        x0 = dec.embed_tokens(cfg, params_, prompt)
+        kk = jnp.zeros((Ls, B, M, cfg.kv_heads, cfg.hd), x0.dtype)
+        vv = jnp.zeros_like(kk)
+
+        # --- prefill (all rows share Lp: lockstep contract) --------------
+        h, kk, vv = pipeline_pass(
+            x0, kk, vv, cos_all[:Lp], sin_all[:Lp], prefill_mask, None,
+            jnp.int32(0),
+        )
+        logits0 = dec.unembed(cfg, params_, h[:, Lp - 1 :])[:, 0]
+        tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+
+        # --- staged decode -----------------------------------------------
+        def macro(carry, _):
+            kk, vv, toks, pos = carry
+            x = dec.embed_tokens(cfg, params_, toks[:, None], pos0=pos)
+            cos = jax.lax.dynamic_slice_in_dim(cos_all, pos, 1, 0)
+            sin = jax.lax.dynamic_slice_in_dim(sin_all, pos, 1, 0)
+            kv_valid = jnp.broadcast_to(
+                jnp.arange(M)[None, :] <= pos, (mb, M)
+            )
+            h, kk, vv = pipeline_pass(
+                x, kk, vv, cos, sin, None, kv_valid, pos
+            )
+            logits = dec.unembed(cfg, params_, h)[:, 0]
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (kk, vv, nxt, pos + 1), nxt
+
+        (_, _, _, _), rest = jax.lax.scan(
+            macro, (kk, vv, tok0, jnp.int32(Lp)), None, length=max_new - 1
+        )
+        return jnp.concatenate([tok0[:, None], rest.T], axis=1)
+
+    return jax.jit(
+        jax.shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(pp_stage_specs(params, axis), P(None, None)),
+            out_specs=P(None, None),
+            check_vma=False,
+        )
+    )
+
+
+def pp_generate(
+    cfg: dec.ModelConfig,
+    mesh: Mesh,
+    params: Dict[str, Any],
+    prompt: jax.Array,  # (B, Lp) int32
+    max_new: int,
+    n_micro: Optional[int] = None,
+    max_len: Optional[int] = None,
+    axis: str = "stage",
+    impl: str = "auto",
+) -> jax.Array:
+    """One-shot staged pipeline-parallel greedy decode -> (B, max_new)."""
+    B, Lp = prompt.shape
+    S = mesh.shape[axis]
+    n_micro = n_micro or min(S, B)
+    fn = make_pp_generate_fn(
+        cfg, mesh, params, B, Lp, max_new, n_micro, max_len, axis, impl
+    )
+    return fn(params, prompt)
 
 
 def pp_forward(

@@ -107,3 +107,44 @@ def test_sp_forward_quantized_sliding(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("stages,n_micro", [(2, 2), (2, 4), (4, 2)])
+def test_pp_generate_matches_greedy(rng, stages, n_micro):
+    """Staged pipeline DECODE (stage-local KV caches, wave-scheduled
+    microbatches) must be token-exact vs single-device greedy decoding."""
+    from pt2tpu.parallel.pp import pp_generate
+    from pt2tpu.serve import greedy_generate
+
+    cfg = get_config("tiny-llama").with_(n_layers=4)
+    params = dec.init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 6)), jnp.int32)
+    want = greedy_generate(
+        cfg, params, prompt, max_new=5, max_len=32, impl="xla"
+    )
+
+    mesh = make_mesh({"stage": stages}, jax.devices()[:stages])
+    got = pp_generate(
+        cfg, mesh, params, prompt, max_new=5, n_micro=n_micro, max_len=32,
+        impl="xla",
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pp_generate_quantized(rng):
+    """Staged decode over stage-sharded packed-ternary leaves."""
+    from pt2tpu.parallel.pp import pp_generate
+    from pt2tpu.serve import greedy_generate
+
+    cfg = get_config("tiny-llama").with_(n_layers=4)
+    params = random_ternary_params(cfg, jax.random.PRNGKey(4), perm_mode="ssr")
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 5)), jnp.int32)
+    want = greedy_generate(
+        cfg, params, prompt, max_new=4, max_len=32, impl="xla"
+    )
+    mesh = make_mesh({"stage": 2}, jax.devices()[:2])
+    got = pp_generate(
+        cfg, mesh, params, prompt, max_new=4, n_micro=2, max_len=32,
+        impl="xla",
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
