@@ -597,6 +597,9 @@ def layer_forward(
     # slice of the model (pipeline stages): the layer's position in the FULL
     # model, for sliding-window global/local selection. Defaults to
     # ``layer_idx``.
+    attn_fn=None,  # cache-less attention override (q, k, v, mask, scale=,
+    # softcap=) -> ctx — e.g. parallel.cp's ring attention, which computes
+    # causality across sequence shards internally.
 ) -> Tuple[jax.Array, LayerIO]:
     """One decoder layer. Returns (output hidden, LayerIO).
 
@@ -669,7 +672,7 @@ def layer_forward(
                 scale=cfg.attn_scale, softcap=cfg.attn_softcap,
             )
     else:
-        ctx = attention(
+        ctx = (attn_fn or attention)(
             q, k, v, mask, scale=cfg.attn_scale, softcap=cfg.attn_softcap
         )
         new_kv = None

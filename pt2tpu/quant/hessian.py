@@ -66,11 +66,41 @@ class HessianAccumulator:
         return self.H / max(self.nsamples, 1)
 
 
+_CHOL_CHUNK = 2048  # column block for the identity solve (see below)
+
+
 @jax.jit
 def _cholesky_inverse(H: jax.Array) -> jax.Array:
+    """inv(H) via Cholesky.
+
+    The identity RHS is solved in COLUMN BLOCKS (lax.map): XLA:TPU's
+    triangular_solve lowering materializes multiple (m, k)-sized buffers,
+    and at m = 11008 (llama-7B down-projection) a full (m, m) RHS wants
+    ~20 GB of HBM — over single-chip capacity (measured: the first 7B
+    end-to-end run OOMed compiling exactly this). Blocks bound the live
+    workspace to (m, chunk) while L and the output stay resident.
+    """
+    m = H.shape[0]
     L = jnp.linalg.cholesky(H)
-    eye = jnp.eye(H.shape[0], dtype=H.dtype)
-    return jax.scipy.linalg.cho_solve((L, True), eye)
+    if m <= _CHOL_CHUNK:
+        eye = jnp.eye(m, dtype=H.dtype)
+        return jax.scipy.linalg.cho_solve((L, True), eye)
+    chunk = _CHOL_CHUNK
+    n_chunks = -(-m // chunk)
+
+    def solve_block(c):
+        # (m, chunk) identity columns built by iota comparison — no (m, m)
+        # eye buffer is ever materialized.
+        cols = (
+            jnp.arange(m)[:, None] == c * chunk + jnp.arange(chunk)[None, :]
+        ).astype(H.dtype)
+        return jax.scipy.linalg.cho_solve((L, True), cols)
+
+    blocks = jax.lax.map(solve_block, jnp.arange(n_chunks))
+    return (
+        jnp.transpose(blocks, (1, 0, 2))
+        .reshape(m, n_chunks * chunk)[:, :m]
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_retries",))
@@ -123,4 +153,9 @@ def damped_inverse(
     Hd, Hinv, ok = _escalating_cholesky_inverse(H, damp0, max_retries)
     if bool(jax.device_get(ok)):
         return Hd, Hinv
+    if H.shape[0] > _CHOL_CHUNK:
+        # pinv = SVD: at production dims it exceeds single-chip HBM; the
+        # escalation fallback is rare enough that a host-side solve is fine.
+        Hinv_np = np.linalg.pinv(np.asarray(Hd, np.float32))
+        return Hd, jnp.asarray(Hinv_np)
     return Hd, jnp.linalg.pinv(Hd)
