@@ -344,6 +344,7 @@ class ServeEngine:
         self._mh = bool(multihost) and jax.process_count() > 1
         self._proc0 = jax.process_index() == 0
         self._mh_has_queue = False
+        self._bucket_lo = 16  # min prefill bucket (paged engine: page size)
         self.finished: List[Request] = []  # retired requests, in order
         self.queue: List[Request] = []
         self.slots: List[Optional[Request]] = [None] * max_batch
@@ -412,7 +413,7 @@ class ServeEngine:
         ``slot`` + slot bookkeeping. In multihost mode every process calls
         this with identical arguments."""
         Lp = len(req.prompt)
-        Lb = min(_bucket(Lp), self.M)
+        Lb = min(_bucket(Lp, self._bucket_lo), self.M)
         padded = np.zeros(Lb, np.int32)
         padded[:Lp] = req.prompt
         sc = req.sampling

@@ -222,3 +222,26 @@ def test_gspmd_shardings_accept_moe(moe_quantized):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
     )
+
+
+def test_moe_engine_continuous_batching(moe_quantized):
+    """The continuous batcher must serve the quantized MoE model: batched
+    decode takes the dense all-expert combine path (B*L > 1), which must
+    token-match the B=1 lockstep path per request."""
+    from pt2tpu.serve import greedy_generate
+    from pt2tpu.serve.engine import ServeEngine
+
+    cfg, _, qparams, _ = moe_quantized
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, cfg.vocab_size, size=l).astype(np.int32)
+               for l in (3, 6, 4)]
+    max_news = [5, 4, 6]
+    eng = ServeEngine(cfg, qparams, max_batch=2, max_len=64)
+    reqs = [eng.submit(p, m) for p, m in zip(prompts, max_news)]
+    eng.run(max_steps=200)
+    assert all(r.done for r in reqs)
+    for r, p, m in zip(reqs, prompts, max_news):
+        want = np.asarray(greedy_generate(
+            cfg, qparams, jnp.asarray(p[None, :]), max_new=m, max_len=64
+        ))[0].tolist()
+        assert r.out == want, (r.uid, r.out, want)
