@@ -1,5 +1,7 @@
+from .cp import cp_forward, make_cp_forward_fn, ring_attention
+from .ep import ep_moe_mlp, ep_param_specs, shard_moe_layer
 from .mesh import auto_mesh, initialize_distributed, make_mesh
-from .pp import make_pp_forward_fn, pp_forward
+from .pp import make_pp_forward_fn, make_pp_generate_fn, pp_forward, pp_generate
 from .sharding import (batch_sharding, param_shardings, seq_sharding,
                        shard_params, sp_forward)
 
@@ -8,7 +10,15 @@ __all__ = [
     "initialize_distributed",
     "make_mesh",
     "make_pp_forward_fn",
+    "make_pp_generate_fn",
     "pp_forward",
+    "pp_generate",
+    "cp_forward",
+    "make_cp_forward_fn",
+    "ring_attention",
+    "ep_moe_mlp",
+    "ep_param_specs",
+    "shard_moe_layer",
     "batch_sharding",
     "param_shardings",
     "shard_params",

@@ -1,5 +1,5 @@
 from .generate import forward_cached, generate, greedy_generate, prefill
-from .sampling import SamplingConfig, sample
+from .sampling import SamplingConfig, sample, sample_per_row
 from .kvcache import KVCache, init_cache
 from .ring import RingCaches, init_ring_caches, ring_generate
 from .speculative import SpecStats, speculative_generate
@@ -9,6 +9,7 @@ __all__ = [
     "generate",
     "SamplingConfig",
     "sample",
+    "sample_per_row",
     "greedy_generate",
     "prefill",
     "KVCache",

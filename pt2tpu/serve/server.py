@@ -6,9 +6,13 @@ GIL-safe single-driver model the engine is designed around (handlers only
 append to the queue and poll completion flags).
 
 API:
-  POST /generate  {"prompt_ids": [...], "max_new": N, "eos_id": optional}
+  POST /generate  {"prompt_ids": [...], "max_new": N, "eos_id": optional,
+                   "temperature": 0.0, "top_k": 0, "top_p": 1.0}
                   -> {"ids": [...], "uid": n}
   GET  /health    -> {"status": "ok", "stats": {...}, "queue": n}
+
+Pass ``engine=`` to serve any engine variant (PagedServeEngine, a
+speculative ServeEngine(draft=...), TP/ring strategy overrides).
 """
 
 from __future__ import annotations
@@ -37,8 +41,9 @@ class ServingServer:
         max_len: int = 2048,
         kv_quant: bool = False,
         impl: str = "auto",
+        engine: Optional[ServeEngine] = None,
     ):
-        self.engine = ServeEngine(
+        self.engine = engine or ServeEngine(
             cfg, params, max_batch=max_batch, max_len=max_len,
             kv_quant=kv_quant, impl=impl,
         )
@@ -80,9 +85,23 @@ class ServingServer:
                     ids = np.asarray(req["prompt_ids"], np.int32)
                     max_new = int(req.get("max_new", 64))
                     eos = req.get("eos_id")
+                    sc = None
+                    temp = float(req.get("temperature", 0.0))
+                    if temp > 0.0:
+                        from .sampling import SamplingConfig
+
+                        sc = SamplingConfig(
+                            temperature=temp,
+                            top_k=int(req.get("top_k", 0)),
+                            top_p=float(req.get("top_p", 1.0)),
+                        )
                 except (KeyError, ValueError, json.JSONDecodeError) as e:
                     return self._json(400, {"error": f"bad request: {e}"})
-                r = server.engine.submit(ids, max_new, eos_id=eos)
+                try:
+                    r = server.engine.submit(ids, max_new, eos_id=eos,
+                                             sampling=sc)
+                except ValueError as e:
+                    return self._json(400, {"error": str(e)})
                 deadline = time.time() + float(req.get("timeout_s", 600))
                 while not r.done and time.time() < deadline:
                     time.sleep(0.002)

@@ -77,3 +77,32 @@ def test_http_server_end_to_end():
             assert e.code == 404
     finally:
         srv.stop()
+
+
+def test_http_server_sampling_and_paged_engine():
+    """Sampled requests through the HTTP API, served by the PAGED engine."""
+    from pt2tpu.serve.paged import PagedServeEngine
+
+    cfg = get_config("tiny-llama")
+    params = dec.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    eng = PagedServeEngine(cfg, params, max_batch=2, max_len=64,
+                           page_size=16, seed=3)
+    srv = ServingServer(cfg, params, port=0, engine=eng).start()
+    try:
+        r = _post(srv.port, "/generate", {
+            "prompt_ids": [3, 7, 11], "max_new": 6,
+            "temperature": 0.9, "top_k": 10,
+        })
+        assert len(r["ids"]) == 6
+        assert all(0 <= t < cfg.vocab_size for t in r["ids"])
+        # greedy through the same paged engine matches lockstep greedy
+        g = _post(srv.port, "/generate", {
+            "prompt_ids": [3, 7, 11], "max_new": 6,
+        })
+        want = np.asarray(greedy_generate(
+            cfg, params, jnp.asarray([[3, 7, 11]], jnp.int32),
+            max_new=6, max_len=64,
+        ))[0].tolist()
+        assert g["ids"] == want
+    finally:
+        srv.stop()
