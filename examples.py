@@ -292,6 +292,102 @@ def example_pipeline_parallel():
     print(f"  pp logits match: {bool(_np.allclose(_np.asarray(got), _np.asarray(want), atol=1e-5))}")
 
 
+def example_moe():
+    """Routed mixture-of-experts: quantize per expert, serve, and shard
+    experts over an 'expert' mesh axis (no reference counterpart — the
+    reference is dense-only, ref model.py:162-171)."""
+    from pt2tpu.models import decoder as dec
+    from pt2tpu.models import get_config
+    from pt2tpu.parallel.ep import ep_moe_mlp, shard_moe_layer
+    from pt2tpu.parallel.mesh import make_mesh
+    from pt2tpu.quant.pipeline import QuantConfig, quantize_model
+
+    cfg = get_config("tiny-moe")
+    params = dec.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    calib = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 0, cfg.vocab_size)
+    qp, report = quantize_model(cfg, params, calib, QuantConfig())
+    gu = qp["layers"]["gateup"]
+    print(f"  experts stacked: gateup packed {tuple(gu.packed.shape)} "
+          f"(layers x experts x planes x lanes)")
+    if len(jax.devices()) >= 4:
+        mesh = make_mesh({"expert": 4}, jax.devices()[:4])
+        lp = dec.layer_slice(qp["layers"], 0)
+        lp_ep = shard_moe_layer(lp, mesh)
+        h = jax.random.normal(jax.random.PRNGKey(2), (1, 4, cfg.dim))
+        y = ep_moe_mlp(cfg, lp_ep, h, mesh, impl="xla")
+        want = dec._moe_mlp(cfg, lp, h, "xla", 0)
+        print(f"  4-way expert-parallel == single-device: "
+              f"{bool(np.allclose(np.asarray(y), np.asarray(want), atol=2e-4))}")
+
+
+def example_engine_sampling():
+    """Per-request sampling + speculative decoding inside the batcher."""
+    from pt2tpu.models import decoder as dec
+    from pt2tpu.models import get_config
+    from pt2tpu.serve.engine import ServeEngine
+    from pt2tpu.serve.sampling import SamplingConfig
+
+    cfg = get_config("tiny-llama")
+    params = dec.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    eng = ServeEngine(cfg, params, max_batch=2, max_len=64, seed=7)
+    rng = np.random.default_rng(0)
+    greedy = eng.submit(rng.integers(0, cfg.vocab_size, size=4), 6)
+    sampled = eng.submit(
+        rng.integers(0, cfg.vocab_size, size=5), 6,
+        sampling=SamplingConfig(temperature=0.9, top_k=20),
+    )
+    eng.run()
+    print(f"  greedy:  {greedy.out}")
+    print(f"  sampled: {sampled.out}  (temp=0.9 top_k=20, seeded)")
+
+    spec = ServeEngine(cfg, params, max_batch=2, max_len=64,
+                       draft=(cfg, params), spec_k=3)
+    r = spec.submit(rng.integers(0, cfg.vocab_size, size=4), 8)
+    spec.run()
+    s = spec.stats_spec
+    print(f"  speculative engine: {r.out} accept "
+          f"{s['accepted']}/{s['drafted']} in {spec.stats['steps']} steps")
+
+
+def example_paged_kv():
+    """Pooled paged KV cache: 3 requests through a 6-page pool."""
+    from pt2tpu.models import decoder as dec
+    from pt2tpu.models import get_config
+    from pt2tpu.serve.paged import PagedServeEngine
+
+    cfg = get_config("tiny-llama")
+    params = dec.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    eng = PagedServeEngine(cfg, params, max_batch=2, max_len=64,
+                           page_size=16, kv_pages=6)
+    rng = np.random.default_rng(0)
+    reqs = [eng.submit(rng.integers(0, cfg.vocab_size, size=l), m)
+            for l, m in ((4, 6), (9, 5), (17, 6))]
+    eng.run()
+    for r in reqs:
+        print(f"  req {r.uid}: prompt[{len(r.prompt)}] -> {r.out}")
+    print(f"  pool drained back to {len(eng._free)} free pages")
+
+
+def example_context_parallel():
+    """Ring attention: sequence sharded over 4 devices, O(L/C) KV each."""
+    from pt2tpu.models import decoder as dec
+    from pt2tpu.models import get_config
+    from pt2tpu.parallel.cp import cp_forward
+    from pt2tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        print("  (needs 4 devices; skipped)")
+        return
+    cfg = get_config("tiny-llama")
+    params = dec.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 32), 0, cfg.vocab_size)
+    mesh = make_mesh({"context": 4}, jax.devices()[:4])
+    got = cp_forward(cfg, mesh, params, toks, impl="xla")
+    want = dec.forward(cfg, params, toks, impl="xla")
+    print(f"  ring-attention logits match causal: "
+          f"{bool(np.allclose(np.asarray(got), np.asarray(want), atol=5e-4))}")
+
+
 EXAMPLES = {
     "atq": example_atq_stages,
     "ssr": example_ssr,
@@ -304,6 +400,10 @@ EXAMPLES = {
     "speculative": example_speculative,
     "ring": example_ring_kv,
     "pp": example_pipeline_parallel,
+    "moe": example_moe,
+    "engine_sampling": example_engine_sampling,
+    "paged": example_paged_kv,
+    "cp": example_context_parallel,
 }
 
 
