@@ -256,9 +256,34 @@ def cmd_serve(args):
         dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
         cfg, params, _ = _resolve_model(args.model, dtype, args.seed)
     params = _maybe_shard(params, args.tp)
+    engine = None
+    if getattr(args, "paged", False):
+        if args.kv_int8:
+            raise SystemExit("--paged pools are bf16; drop --kv-int8")
+        from .serve.paged import PagedServeEngine
+
+        engine = PagedServeEngine(
+            cfg, params, max_batch=args.max_batch, max_len=args.max_len,
+            page_size=args.page_size, kv_pages=args.kv_pages,
+        )
+    elif getattr(args, "draft", None):
+        from .serve.engine import ServeEngine
+
+        if os.path.exists(os.path.join(args.draft, "manifest.json")):
+            cfg_d, params_d = load_model(args.draft)
+        else:
+            dtype = (
+                jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+            )
+            cfg_d, params_d, _ = _resolve_model(args.draft, dtype, args.seed)
+        engine = ServeEngine(
+            cfg, params, max_batch=args.max_batch, max_len=args.max_len,
+            draft=(cfg_d, params_d), spec_k=args.spec_k,
+        )
     srv = ServingServer(
         cfg, params, host=args.host, port=args.port,
         max_batch=args.max_batch, max_len=args.max_len, kv_quant=args.kv_int8,
+        engine=engine,
     ).start()
     print(f"serving on http://{args.host}:{srv.port} "
           f"(POST /generate, GET /health); ctrl-c to stop")
@@ -353,6 +378,15 @@ def build_parser():
     sv.add_argument("--kv-int8", action="store_true")
     sv.add_argument("--tp", type=int, default=1)
     sv.add_argument("--seed", type=int, default=42)
+    sv.add_argument("--paged", action="store_true",
+                    help="pooled paged KV cache (serve/paged.py)")
+    sv.add_argument("--page-size", type=int, default=64)
+    sv.add_argument("--kv-pages", type=int, default=None,
+                    help="total pages in the pool (default: dense-equivalent)")
+    sv.add_argument("--draft", default=None,
+                    help="draft model artifact/config: per-row speculative "
+                    "decoding inside the batcher (greedy requests only)")
+    sv.add_argument("--spec-k", type=int, default=4)
     sv.set_defaults(fn=cmd_serve)
 
     i = sub.add_parser("info", help="inspect an artifact")
@@ -362,6 +396,15 @@ def build_parser():
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS even when a sitecustomize imported jax before this
+    # process saw the env var (observed on the TPU-tunnel image: the env var
+    # alone is silently ignored and CLI subprocesses land on the TPU).
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:  # don't probe default_backend(): that would initialize it
+        try:
+            jax.config.update("jax_platforms", want)
+        except RuntimeError:
+            pass  # backend already initialized: keep it
     args = build_parser().parse_args(argv)
     args.fn(args)
 
