@@ -88,7 +88,9 @@ def config_from_hf(model_dir: str) -> ModelConfig:
         # reference does the same via language_model.layers, model.py:143-151)
         hc = {**hc["text_config"], "architectures": hc.get("architectures")}
         mt = "gemma3_text"
-    if "llama" in arch or mt in ("llama", "mistral", "qwen2", "qwen3"):
+    if "llama" in arch or mt in (
+        "llama", "mistral", "qwen2", "qwen3", "mixtral", "qwen3_moe"
+    ):
         rs = hc.get("rope_scaling") or {}
         rtype = rs.get("rope_type") or rs.get("type")
         rope_scale, rope_llama3 = 1.0, None
@@ -122,8 +124,16 @@ def config_from_hf(model_dir: str) -> ModelConfig:
             act="silu",
             gated_mlp=True,
             qkv_bias=bool(hc.get("attention_bias", False) or mt == "qwen2"),
-            qk_norm=(mt == "qwen3"),
+            qk_norm=(mt in ("qwen3", "qwen3_moe")),
             tie_embeddings=bool(hc.get("tie_word_embeddings", False)),
+            # MoE (mixtral: num_local_experts/top-k renormalized;
+            # qwen3_moe: num_experts + moe_intermediate_size + flag)
+            n_experts=int(
+                hc.get("num_local_experts") or hc.get("num_experts") or 0
+            ),
+            experts_per_token=int(hc.get("num_experts_per_tok", 2)),
+            moe_inter=hc.get("moe_intermediate_size"),
+            norm_topk=bool(hc.get("norm_topk_prob", True)),
         )
     if "opt" in arch or mt == "opt":
         return ModelConfig(
@@ -323,13 +333,48 @@ def _llama_layers(cfg, t, dtype, prefix="model."):
             ("k", "self_attn.k_proj"),
             ("v", "self_attn.v_proj"),
             ("o", "self_attn.o_proj"),
-            ("gate", "mlp.gate_proj"),
-            ("up", "mlp.up_proj"),
-            ("down", "mlp.down_proj"),
         ):
             lay[ours] = _lin(
                 t, p + theirs + ".weight", p + theirs + ".bias", dtype
             )
+        if cfg.is_moe:
+            # mixtral: block_sparse_moe.gate + experts.N.{w1,w3,w2};
+            # qwen3_moe: mlp.gate + mlp.experts.N.{gate,up,down}_proj
+            if p + "block_sparse_moe.gate.weight" in t:
+                rkey = p + "block_sparse_moe.gate.weight"
+                ekeys = [
+                    (p + f"block_sparse_moe.experts.{e}.w1.weight",
+                     p + f"block_sparse_moe.experts.{e}.w3.weight",
+                     p + f"block_sparse_moe.experts.{e}.w2.weight")
+                    for e in range(cfg.n_experts)
+                ]
+            else:
+                rkey = p + "mlp.gate.weight"
+                ekeys = [
+                    (p + f"mlp.experts.{e}.gate_proj.weight",
+                     p + f"mlp.experts.{e}.up_proj.weight",
+                     p + f"mlp.experts.{e}.down_proj.weight")
+                    for e in range(cfg.n_experts)
+                ]
+            lay["router"] = DenseLinear(
+                w=jnp.asarray(np.asarray(t[rkey], np.float32), dtype)
+            )
+            for name, j in (("gate", 0), ("up", 1), ("down", 2)):
+                lay[name] = DenseLinear(
+                    w=jnp.stack([
+                        jnp.asarray(np.asarray(t[k[j]], np.float32), dtype)
+                        for k in ekeys
+                    ])
+                )
+        else:
+            for ours, theirs in (
+                ("gate", "mlp.gate_proj"),
+                ("up", "mlp.up_proj"),
+                ("down", "mlp.down_proj"),
+            ):
+                lay[ours] = _lin(
+                    t, p + theirs + ".weight", p + theirs + ".bias", dtype
+                )
         layers.append(lay)
     return layers
 

@@ -141,3 +141,29 @@ def test_llama31_rope_scaling_parity(tmp_path):
         },
     )
     _compare(tmp_path, transformers.LlamaForCausalLM(c))
+
+
+def test_mixtral_parity(tmp_path):
+    """Routed MoE vs transformers MixtralForCausalLM: router top-k
+    renormalized combine + expert w1/w3/w2 layout."""
+    c = transformers.MixtralConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    _compare(tmp_path, transformers.MixtralForCausalLM(c))
+
+
+def test_qwen3_moe_parity(tmp_path):
+    """qwen3_moe: qk-norm + mlp.experts.N.{gate,up,down}_proj layout +
+    norm_topk_prob flag + distinct moe_intermediate_size."""
+    c = transformers.Qwen3MoeConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    _compare(tmp_path, transformers.Qwen3MoeForCausalLM(c))
