@@ -198,3 +198,12 @@ def fold_moe_expert_perms(cfg: Any, expert_lps):
                 lp[k] = _attach_gather(v)
         out.append(lp)
     return out
+
+
+def fold_head_perm(packed: PackedTernaryLinear) -> PackedTernaryLinear:
+    """Realize a quantized lm_head's SSR perm as a packed one-hot gather
+    (the head has no downstream projection to fold into, so the gather is
+    the terminal realization — same rule as qkv/o/gateup)."""
+    if packed.identity_perm or packed.input_folded or packed.gather is not None:
+        return packed
+    return _attach_gather(packed)

@@ -399,16 +399,10 @@ def quantize_model(
         for h in hidden:
             acc.update(lnf(h))
         packed, stats = quantize_linear(out_params["lm_head"], acc, qcfg)
-        if qcfg.fold_perms and not packed.identity_perm:
-            import dataclasses as _dc
+        if qcfg.fold_perms:
+            from .fold import fold_head_perm
 
-            from ..ops.gather import make_packed_gather
-
-            packed = _dc.replace(
-                packed,
-                gather=make_packed_gather(packed.perm, packed.in_features),
-                identity_perm=False,
-            )
+            packed = fold_head_perm(packed)
         out_params["lm_head"] = packed
         report["lm_head"] = stats
         log.emit("lm_head_quantized", **stats)
