@@ -67,6 +67,32 @@ def bench_decode(cfg, params, prompt_len, max_new, impl, reps=3, batch=1):
     return batch / per_tok
 
 
+def bench_spec(cfg, params, cfg_d, params_d, prompt_len, max_new, k, impl,
+               reps=3):
+    """Speculative batch-1 decode tok/s (serve/speculative: one compiled
+    draft+verify while_loop program)."""
+    import numpy as np
+
+    from pt2tpu.serve.speculative import speculative_generate
+
+    prompt = jnp.zeros((1, prompt_len), jnp.int32)
+
+    def run():
+        out, stats = speculative_generate(
+            cfg, params, cfg_d, params_d, prompt, max_new, k=k, impl=impl,
+        )
+        np.asarray(out)
+        return stats
+
+    stats = run()  # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        stats = run()
+        best = min(best, time.time() - t0)
+    return max_new / best, stats
+
+
 def bench_prefill(cfg, params, seq_len, impl, reps=3, batch=1):
     """Prefill tokens/s via slope between two sequence lengths (cancels
     dispatch; prefill is one jitted forward, MXU-bound at these shapes)."""
@@ -100,10 +126,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="llama-2-7b")
     ap.add_argument(
-        "--mode", default="decode", choices=["decode", "prefill"],
+        "--mode", default="decode", choices=["decode", "prefill", "spec"],
         help="decode (default): batch-N greedy decode tok/s; prefill: "
-        "causal forward tok/s at --prompt length",
+        "causal forward tok/s at --prompt length; spec: speculative "
+        "decoding (draft+verify, batch 1) — with --draft-layers 0 the "
+        "draft IS the target (acceptance 1: the mechanism's ceiling)",
     )
+    ap.add_argument(
+        "--draft-layers", type=int, default=0,
+        help="spec mode: draft model depth (0 = use the target as its own "
+        "draft — ideal acceptance)",
+    )
+    ap.add_argument("--spec-k", type=int, default=4)
     ap.add_argument("--layers", type=int, default=None, help="override n_layers")
     ap.add_argument("--prompt", type=int, default=32)
     ap.add_argument("--new", type=int, default=64)
@@ -166,9 +200,36 @@ def main():
         perm_mode=args.perms,
         ternary_lm_head=args.lm_head == "ternary",
     )
+    spec_stats = None
     if args.mode == "prefill":
         tok_s = bench_prefill(
             cfg, tparams, max(args.prompt, 256), impl, args.reps, args.batch
+        )
+    elif args.mode == "spec":
+        if args.draft_layers:
+            cfg_d = cfg.with_(n_layers=args.draft_layers)
+            dparams = random_ternary_params(
+                cfg_d, jax.random.PRNGKey(0), perm_mode=args.perms,
+                ternary_lm_head=args.lm_head == "ternary",
+            )
+        else:
+            cfg_d, dparams = cfg, tparams  # self-draft: acceptance == 1
+        tok_s, spec_stats = bench_spec(
+            cfg, tparams, cfg_d, dparams, args.prompt, args.new,
+            args.spec_k, impl, args.reps,
+        )
+        # vs_baseline for spec = speedup over this run's own plain decode
+        plain = bench_decode(
+            cfg, tparams, args.prompt, args.new, impl, args.reps, batch=1
+        )
+        args.no_dense = True
+        args._spec_vs = tok_s / plain if plain else None
+        dlabel = "self" if not args.draft_layers else f"{args.draft_layers}L"
+        print(
+            f"speculative k={args.spec_k} (draft={dlabel}): "
+            f"{tok_s:.2f} tok/s vs plain {plain:.2f} "
+            f"(accept {spec_stats.accepted}/{spec_stats.drafted})",
+            file=sys.stderr,
         )
     else:
         tok_s = bench_decode(
@@ -201,7 +262,14 @@ def main():
         except Exception as e:  # OOM etc. — report without baseline
             print(f"dense baseline failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    what = "greedy decode" if args.mode == "decode" else "prefill"
+    what = {
+        "decode": "greedy decode",
+        "prefill": "prefill",
+        "spec": f"speculative decode (k={args.spec_k}, "
+        f"{'self-draft ceiling' if not args.draft_layers else str(args.draft_layers) + 'L draft'})",
+    }[args.mode]
+    if args.mode == "spec":
+        vs = getattr(args, "_spec_vs", None)  # speedup vs plain decode
     rec = {
         "metric": f"ternary {args.model} {what} tokens/s/chip "
         f"(batch {args.batch})",
