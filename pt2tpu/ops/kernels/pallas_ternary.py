@@ -36,6 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "ternary_matmul_pallas",
     "ternary_matmul_pallas_stacked",
+    "ternary_matmul_pallas_gathered",
+    "ternary_matmul_pallas_gathered_stacked",
     "normalize_rows_a8",
 ]
 
@@ -102,10 +104,102 @@ def _pick_tiles(n: int, nb: int, bs: int, Bp: int, want_tn: int, want_bps: int):
     return tn, bps
 
 
-def _make_kernel(bps: int, bs: int, a8: bool = False, telescope=None):
+def _accumulate_step(xs_src, packed_ref, alpha_ref, mu_ref, o_ref,
+                     bps, bs, a8, force_telescope):
+    """Shared per-grid-step accumulation: one (B, bps*bs) x-tile against
+    bps packed scale blocks. ``xs_src`` is a jnp array (bf16/f32)."""
     bs4 = bs // 4
-    force_telescope = telescope
+    cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    B = xs_src.shape[0]
+    acc = jnp.zeros_like(o_ref)
 
+    # The kernel is VPU *pass*-bound (each full-size elementwise op is
+    # one 8x128/cycle sweep), so scale application moves to the MXU:
+    #   W = alpha*(u-1) + mu = alpha*u + (mu - alpha)
+    #   x @ W^T = alpha_row * (x_b @ u_b)  +  blocksum(x) @ (mu - alpha)
+    # blocksum(x) = x_step @ O with O the (bps*bs, bps) block-indicator —
+    # a small MXU dot, NOT a lane reduction (an in-kernel (B,1)
+    # lane-reduce + broadcast measured ~300x slower: 28 ms vs 95 us).
+    #
+    # a8 (W2A8): the wrapper pre-normalizes x to per-row absmax 127 and
+    # rescales the output; here the tiny x tile is rounded to int8 so
+    # the unpacked codes can stay int8 — skipping the full-volume
+    # int32->bf16 cast — and the dots run on the int8 MXU path
+    # (measured -15% vs the bf16 pipeline at qkv shape). x remains a
+    # bf16 operand (16-row tiles, same VMEM budget as the bf16 path);
+    # both terms consume the same quantized xs for affine consistency.
+    if a8:
+        xs = jnp.clip(
+            jnp.round(xs_src.astype(jnp.float32)), -127, 127
+        ).astype(jnp.int8)  # (B, bps*bs)
+    else:
+        xs = xs_src.astype(cdt)
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (bps * bs, bps), 0) // bs
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (bps * bs, bps), 1)
+    ones_blocks = (row_blk == col_blk).astype(cdt)
+    # int8 values <= 127 are exact in bf16; blocksum accumulates in f32.
+    smat = jnp.dot(
+        xs.astype(cdt), ones_blocks, preferred_element_type=jnp.float32
+    )
+    offset = (mu_ref[:] - alpha_ref[:]).astype(cdt)  # (bps, TN)
+    acc += jnp.dot(
+        smat.astype(cdt), offset, preferred_element_type=jnp.float32
+    )
+
+    # Mask-free telescoped unpack for decode-size row tiles: with
+    # zero-extended bytes the raw shifted plane s_q = sum_{p>=q}
+    # 4^(p-q) c_p telescopes, so  dot(x, masked_planes) =
+    # dot([x; -4*shift(x)], raw_planes)  — the 4 full-volume mask
+    # passes become 16 extra x rows, free below the MXU pipeline fill
+    # (measured ~10% on the qkv shape; exact, unlike folding the
+    # stack into one bf16 x~ operand, whose rounding is amplified by
+    # the 0..255 plane magnitudes). At prefill row tiles (B > 64) the
+    # doubled dot rows are real FLOPs — keep the masked path there.
+    # The identity is algebraically exact but NOT bit-equal to the
+    # masked path (raw planes reach 255, inflating f32 partial sums
+    # ~85x, and the final d2[:B]+d2[B:] adds a rounding site): measured
+    # on-chip max 2.5e-6 relative (1-2 f32 ulps) at llama-7b projection
+    # shapes. The 1e-5 contract is pinned by tests/test_ternary_matmul
+    # ::test_telescoped_exact_vs_masked (interpret) and scripts/
+    # tpu_smoke.py (on-chip); re-verify if tile shapes change.
+    # ``force_telescope`` exists for those checks.
+    if force_telescope is None:
+        telescope = (not a8) and B <= 64
+    else:
+        telescope = force_telescope and not a8
+    for p in range(bps):  # static unroll; all slices compile-time aligned
+        xb = xs[:, p * bs : (p + 1) * bs]  # (B, bs)
+        if telescope:
+            pk = pltpu.bitcast(
+                packed_ref[p * bs4 : (p + 1) * bs4, :], jnp.uint8
+            ).astype(jnp.int32)
+            planes = [(pk >> (2 * q)) for q in range(4)]  # no masks
+            u = jnp.concatenate(planes, axis=0).astype(cdt)  # <=255 exact
+            xb2 = jnp.concatenate(
+                [jnp.zeros((B, bs4), cdt), xb[:, : bs - bs4]], axis=1
+            )
+            xs2 = jnp.concatenate([xb, -4.0 * xb2], axis=0)  # (2B, bs)
+            d2 = jnp.dot(xs2, u, preferred_element_type=jnp.float32)
+            d = d2[:B] + d2[B:]
+            acc += d * alpha_ref[p : p + 1, :].astype(jnp.float32)
+            continue
+        pk = packed_ref[p * bs4 : (p + 1) * bs4, :].astype(jnp.int32)
+        planes = [((pk >> (2 * q)) & 3) for q in range(4)]
+        if a8:
+            u8 = jnp.concatenate(
+                [q_.astype(jnp.int8) for q_ in planes], axis=0
+            )  # (bs, TN) int8 {0,1,2}
+            d = jnp.dot(
+                xb, u8, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+        else:
+            u = jnp.concatenate(planes, axis=0).astype(cdt)
+            d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
+        acc += d * alpha_ref[p : p + 1, :].astype(jnp.float32)
+    o_ref[:] += acc
+
+
+def _make_kernel(bps: int, bs: int, a8: bool = False, telescope=None):
     def _kernel(x_ref, packed_ref, alpha_ref, mu_ref, o_ref):
         j = pl.program_id(2)  # k-step (innermost)
 
@@ -113,95 +207,52 @@ def _make_kernel(bps: int, bs: int, a8: bool = False, telescope=None):
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-        B = x_ref.shape[0]
-        tn = o_ref.shape[1]
-        acc = jnp.zeros_like(o_ref)
-
-        # The kernel is VPU *pass*-bound (each full-size elementwise op is
-        # one 8x128/cycle sweep), so scale application moves to the MXU:
-        #   W = alpha*(u-1) + mu = alpha*u + (mu - alpha)
-        #   x @ W^T = alpha_row * (x_b @ u_b)  +  blocksum(x) @ (mu - alpha)
-        # blocksum(x) = x_step @ O with O the (bps*bs, bps) block-indicator —
-        # a small MXU dot, NOT a lane reduction (an in-kernel (B,1)
-        # lane-reduce + broadcast measured ~300x slower: 28 ms vs 95 us).
-        #
-        # a8 (W2A8): the wrapper pre-normalizes x to per-row absmax 127 and
-        # rescales the output; here the tiny x tile is rounded to int8 so
-        # the unpacked codes can stay int8 — skipping the full-volume
-        # int32->bf16 cast — and the dots run on the int8 MXU path
-        # (measured -15% vs the bf16 pipeline at qkv shape). x remains a
-        # bf16 operand (16-row tiles, same VMEM budget as the bf16 path);
-        # both terms consume the same quantized xs for affine consistency.
-        if a8:
-            xs = jnp.clip(
-                jnp.round(x_ref[:].astype(jnp.float32)), -127, 127
-            ).astype(jnp.int8)  # (B, bps*bs)
-        else:
-            xs = x_ref[:].astype(cdt)
-        row_blk = jax.lax.broadcasted_iota(jnp.int32, (bps * bs, bps), 0) // bs
-        col_blk = jax.lax.broadcasted_iota(jnp.int32, (bps * bs, bps), 1)
-        ones_blocks = (row_blk == col_blk).astype(cdt)
-        # int8 values <= 127 are exact in bf16; blocksum accumulates in f32.
-        smat = jnp.dot(
-            xs.astype(cdt), ones_blocks, preferred_element_type=jnp.float32
-        )
-        offset = (mu_ref[:] - alpha_ref[:]).astype(cdt)  # (bps, TN)
-        acc += jnp.dot(
-            smat.astype(cdt), offset, preferred_element_type=jnp.float32
+        _accumulate_step(
+            x_ref[:], packed_ref, alpha_ref, mu_ref, o_ref,
+            bps, bs, a8, telescope,
         )
 
-        # Mask-free telescoped unpack for decode-size row tiles: with
-        # zero-extended bytes the raw shifted plane s_q = sum_{p>=q}
-        # 4^(p-q) c_p telescopes, so  dot(x, masked_planes) =
-        # dot([x; -4*shift(x)], raw_planes)  — the 4 full-volume mask
-        # passes become 16 extra x rows, free below the MXU pipeline fill
-        # (measured ~10% on the qkv shape; exact, unlike folding the
-        # stack into one bf16 x~ operand, whose rounding is amplified by
-        # the 0..255 plane magnitudes). At prefill row tiles (B > 64) the
-        # doubled dot rows are real FLOPs — keep the masked path there.
-        # The identity is algebraically exact but NOT bit-equal to the
-        # masked path (raw planes reach 255, inflating f32 partial sums
-        # ~85x, and the final d2[:B]+d2[B:] adds a rounding site): measured
-        # on-chip max 2.5e-6 relative (1-2 f32 ulps) at llama-7b projection
-        # shapes. The 1e-5 contract is pinned by tests/test_ternary_matmul
-        # ::test_telescoped_exact_vs_masked (interpret) and scripts/
-        # tpu_smoke.py (on-chip); re-verify if tile shapes change.
-        # ``force_telescope`` exists for those checks.
-        if force_telescope is None:
-            telescope = (not a8) and B <= 64
-        else:
-            telescope = force_telescope and not a8
-        for p in range(bps):  # static unroll; all slices compile-time aligned
-            xb = xs[:, p * bs : (p + 1) * bs]  # (B, bs)
-            if telescope:
-                pk = pltpu.bitcast(
-                    packed_ref[p * bs4 : (p + 1) * bs4, :], jnp.uint8
-                ).astype(jnp.int32)
-                planes = [(pk >> (2 * q)) for q in range(4)]  # no masks
-                u = jnp.concatenate(planes, axis=0).astype(cdt)  # <=255 exact
-                xb2 = jnp.concatenate(
-                    [jnp.zeros((B, bs4), cdt), xb[:, : bs - bs4]], axis=1
-                )
-                xs2 = jnp.concatenate([xb, -4.0 * xb2], axis=0)  # (2B, bs)
-                d2 = jnp.dot(xs2, u, preferred_element_type=jnp.float32)
-                d = d2[:B] + d2[B:]
-                acc += d * alpha_ref[p : p + 1, :].astype(jnp.float32)
-                continue
-            pk = packed_ref[p * bs4 : (p + 1) * bs4, :].astype(jnp.int32)
-            planes = [((pk >> (2 * q)) & 3) for q in range(4)]
-            if a8:
-                u8 = jnp.concatenate(
-                    [q_.astype(jnp.int8) for q_ in planes], axis=0
-                )  # (bs, TN) int8 {0,1,2}
-                d = jnp.dot(
-                    xb, u8, preferred_element_type=jnp.int32
-                ).astype(jnp.float32)
-            else:
-                u = jnp.concatenate(planes, axis=0).astype(cdt)
-                d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
-            acc += d * alpha_ref[p : p + 1, :].astype(jnp.float32)
-        o_ref[:] += acc
+    return _kernel
+
+
+def _gather_prologue(x_ref, gp_ref, xg_ref):
+    """xg = x @ onehot(G) for this j-step's K columns (exact for bf16 x:
+    one-hot passthrough). G rows sweep the full input dim in 128-lane
+    sub-blocks (32 packed rows each)."""
+    cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    D4 = gp_ref.shape[0]
+    xg = jnp.zeros((x_ref.shape[0], gp_ref.shape[1]), jnp.float32)
+    for pg in range(D4 // 32):
+        gk = gp_ref[pg * 32 : (pg + 1) * 32, :].astype(jnp.int32)
+        planes = [((gk >> (2 * q)) & 3) for q in range(4)]
+        u = jnp.concatenate(planes, axis=0).astype(cdt)  # (128, TK) {0,1}
+        xb = x_ref[:, pg * 128 : (pg + 1) * 128].astype(cdt)
+        xg += jnp.dot(xb, u, preferred_element_type=jnp.float32)
+    xg_ref[:] = xg.astype(xg_ref.dtype)
+
+
+def _make_gather_kernel(bps: int, bs: int, a8: bool = False):
+    """Fused SSR-gather + ternary matmul: grid (B/tb, nb/bps [j], n/tn [i])
+    — i innermost so the gathered x tile (scratch) is computed ONCE per
+    (b, j) and reused across all output tiles. Drops the standalone gather
+    kernel call + its HBM round trip from the decode path."""
+
+    def _kernel(x_ref, gp_ref, packed_ref, alpha_ref, mu_ref, o_ref, xg_ref):
+        j = pl.program_id(1)
+        i = pl.program_id(2)
+
+        @pl.when(i == 0)
+        def _():
+            _gather_prologue(x_ref, gp_ref, xg_ref)
+
+        @pl.when(j == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        _accumulate_step(
+            xg_ref[:], packed_ref, alpha_ref, mu_ref, o_ref,
+            bps, bs, a8, None,
+        )
 
     return _kernel
 
@@ -307,6 +358,225 @@ def ternary_matmul_pallas_stacked(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.float32),
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x, packed, alpha, mu)
+    if a8:
+        out = out * sx
+    return out[:B]
+
+
+def _gather_vmem_estimate(tn, bps, bs, Bp, D):
+    base = _vmem_estimate(tn, bps, bs, Bp)
+    gp2 = 2 * (D // 4) * bps * bs  # G block, double-buffered
+    xfull2 = 2 * Bp * D * 2
+    scratch = Bp * bps * bs * 2
+    gtemps = 4 * 32 * bps * bs * 4 + 128 * bps * bs * 2
+    return base + gp2 + xfull2 + scratch + gtemps
+
+
+def _pick_tiles_gathered(n, nb, bs, Bp, D, want_tn, want_bps):
+    budget = 12 * 1024 * 1024
+    tn = _pick_tile_n(n, min(want_tn, n))
+    tn_divisors = sorted(
+        (d for d in range(128, n + 1, 128) if n % d == 0), reverse=True
+    )
+    bps_all = sorted(
+        {b for b in range(8, nb + 1, 8) if nb % b == 0} | {nb}, reverse=True
+    )
+    bps = max((b for b in bps_all if b <= max(want_bps, 8)), default=nb)
+    while _gather_vmem_estimate(tn, bps, bs, Bp, D) > budget:
+        smaller_bps = [b for b in bps_all if b < bps]
+        if smaller_bps:
+            bps = smaller_bps[0]
+            continue
+        smaller_tn = [d for d in tn_divisors if d < tn]
+        if smaller_tn:
+            tn = smaller_tn[0]
+            continue
+        break
+    return tn, bps
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "tile_n", "blocks_per_step", "a8")
+)
+def ternary_matmul_pallas_gathered(
+    x: jax.Array,  # (B, D) UN-gathered activations
+    gpacked: jax.Array,  # (D//4, K) packed one-hot perm
+    packed: jax.Array,  # (K//4, n)
+    alpha: jax.Array,
+    mu: jax.Array,
+    *,
+    block_size: int = 128,
+    tile_n: int = 4096,
+    blocks_per_step: int = 16,
+    a8: bool = False,
+) -> jax.Array:
+    """Fused out = gather(x) @ dequant(packed): the SSR one-hot gather runs
+    as a per-j-step prologue inside the matmul kernel (scratch-cached across
+    output tiles) instead of a separate kernel call + HBM round trip."""
+    D4g, K_g = gpacked.shape
+    D = D4g * 4
+    K4, n = packed.shape
+    K = K4 * 4
+    nb = alpha.shape[0]
+    bs = block_size
+    if K_g != K or bs % 128 != 0 or nb * bs != K or n % 128 != 0:
+        raise ValueError(
+            f"bad shapes: gpacked {gpacked.shape}, packed {packed.shape}"
+        )
+    B, m = x.shape
+    if m < D:
+        x = jnp.pad(x, ((0, 0), (0, D - m)))
+    tb = min(max(16, -(-B // 16) * 16), 256)
+    Bp = -(-B // tb) * tb
+    tn, bps = _pick_tiles_gathered(n, nb, bs, tb, D, tile_n, blocks_per_step)
+    bs4 = bs // 4
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+    if a8:
+        x, sx = normalize_rows_a8(x)  # absmax is permutation-invariant
+    else:
+        x = x.astype(
+            jnp.bfloat16 if jax.default_backend() == "tpu" else x.dtype
+        )
+
+    grid = (Bp // tb, nb // bps, n // tn)  # i innermost: xg reused
+    out = pl.pallas_call(
+        _make_gather_kernel(bps, bs, a8),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tb, D), lambda b, j, i: (b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (D4g, bps * bs), lambda b, j, i: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bps * bs4, tn), lambda b, j, i: (j, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bps, tn), lambda b, j, i: (j, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bps, tn), lambda b, j, i: (j, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tb, tn), lambda b, j, i: (b, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (tb, bps * bs),
+                jnp.bfloat16
+                if jax.default_backend() == "tpu"
+                else jnp.float32,
+            )
+        ],
+    )(x, gpacked, packed, alpha, mu)
+    if a8:
+        out = out * sx
+    return out[:B]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "tile_n", "blocks_per_step", "a8")
+)
+def ternary_matmul_pallas_gathered_stacked(
+    x: jax.Array,  # (B, D)
+    gpacked: jax.Array,  # (L, D//4, K)
+    packed: jax.Array,  # (L, K//4, n)
+    alpha: jax.Array,  # (L, nb, n)
+    mu: jax.Array,
+    layer_idx: jax.Array,
+    *,
+    block_size: int = 128,
+    tile_n: int = 4096,
+    blocks_per_step: int = 16,
+    a8: bool = False,
+) -> jax.Array:
+    """Stacked (scan-over-layers) fused gather+matmul — scalar-prefetched
+    layer index, same rationale as ternary_matmul_pallas_stacked."""
+    L, D4g, K_g = gpacked.shape
+    D = D4g * 4
+    _, K4, n = packed.shape
+    K = K4 * 4
+    nb = alpha.shape[1]
+    bs = block_size
+    if K_g != K or bs % 128 != 0 or nb * bs != K or n % 128 != 0:
+        raise ValueError(
+            f"bad shapes: gpacked {gpacked.shape}, packed {packed.shape}"
+        )
+    B, m = x.shape
+    if m < D:
+        x = jnp.pad(x, ((0, 0), (0, D - m)))
+    tb = min(max(16, -(-B // 16) * 16), 256)
+    Bp = -(-B // tb) * tb
+    tn, bps = _pick_tiles_gathered(n, nb, bs, tb, D, tile_n, blocks_per_step)
+    bs4 = bs // 4
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+    if a8:
+        x, sx = normalize_rows_a8(x)
+    else:
+        x = x.astype(
+            jnp.bfloat16 if jax.default_backend() == "tpu" else x.dtype
+        )
+
+    inner = _make_gather_kernel(bps, bs, a8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bp // tb, nb // bps, n // tn),
+        in_specs=[
+            pl.BlockSpec(
+                (tb, D), lambda b, j, i, li: (b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, D4g, bps * bs), lambda b, j, i, li: (li[0], 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bps * bs4, tn), lambda b, j, i, li: (li[0], j, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bps, tn), lambda b, j, i, li: (li[0], j, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bps, tn), lambda b, j, i, li: (li[0], j, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tb, tn), lambda b, j, i, li: (b, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (tb, bps * bs),
+                jnp.bfloat16
+                if jax.default_backend() == "tpu"
+                else jnp.float32,
+            )
+        ],
+    )
+
+    def kernel_wrap(idx_ref, x_ref, gp_ref, packed_ref, alpha_ref, mu_ref,
+                    o_ref, xg_ref):
+        del idx_ref
+        inner(
+            x_ref, gp_ref.at[0], packed_ref.at[0], alpha_ref.at[0],
+            mu_ref.at[0], o_ref, xg_ref,
+        )
+
+    out = pl.pallas_call(
+        kernel_wrap,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.float32),
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x, gpacked, packed,
+      alpha, mu)
     if a8:
         out = out * sx
     return out[:B]

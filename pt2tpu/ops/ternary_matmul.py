@@ -301,8 +301,6 @@ def ternary_linear_apply_stacked(
     x2 = x.reshape(-1, m)
     L, K4, n = p.packed.shape
     K = K4 * 4
-    xk = _input_lanes(p, x2, K, impl, layer_idx)
-
     bs = K4 * 4 // p.alpha.shape[-2]
     use_pallas = impl in ("pallas", "a8") or (
         impl == "auto"
@@ -310,6 +308,21 @@ def ternary_linear_apply_stacked(
         and bs % 128 == 0
         and n % 128 == 0
     )
+    if use_pallas and p.gather is not None:
+        # Fused SSR gather: the one-hot perm runs as a prologue inside the
+        # matmul kernel (one call instead of two, no xg HBM round trip).
+        from .kernels.pallas_ternary import (
+            ternary_matmul_pallas_gathered_stacked,
+        )
+
+        out = ternary_matmul_pallas_gathered_stacked(
+            x2, p.gather.packed, p.packed, p.alpha, p.mu, layer_idx,
+            block_size=bs, a8=impl == "a8",
+        )
+        if p.bias is not None:
+            out = out + p.bias[layer_idx].astype(out.dtype)
+        return out.astype(out_dtype).reshape(*lead, n)
+    xk = _input_lanes(p, x2, K, impl, layer_idx)
     if use_pallas:
         from .kernels.pallas_ternary import ternary_matmul_pallas_stacked
 
@@ -344,7 +357,6 @@ def ternary_linear_apply(
         raise ValueError(f"input features {m} != layer in_features {p.in_features}")
     x2 = x.reshape(-1, m)
     K = p.packed.shape[0] * 4
-    xk = _input_lanes(p, x2, K, impl)  # (B, K)
 
     bs = p.block_size
     use_pallas = impl in ("pallas", "a8") or (
@@ -353,6 +365,17 @@ def ternary_linear_apply(
         and bs % 128 == 0
         and p.out_features % 128 == 0
     )
+    if use_pallas and p.gather is not None:
+        from .kernels.pallas_ternary import ternary_matmul_pallas_gathered
+
+        out = ternary_matmul_pallas_gathered(
+            x2, p.gather.packed, p.packed, p.alpha, p.mu, block_size=bs,
+            a8=impl == "a8",
+        )
+        if p.bias is not None:
+            out = out + p.bias.astype(out.dtype)
+        return out.astype(out_dtype).reshape(*lead, p.out_features)
+    xk = _input_lanes(p, x2, K, impl)  # (B, K)
     if use_pallas:
         from .kernels.pallas_ternary import ternary_matmul_pallas
 

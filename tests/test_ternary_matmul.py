@@ -148,3 +148,86 @@ def test_telescoped_exact_vs_masked(rng):
     t = np.asarray(tele)
     rel = np.max(np.abs(t - m)) / max(1e-9, float(np.max(np.abs(m))))
     assert rel <= 1e-4, f"telescoped vs masked rel err {rel:.2e}"
+
+
+def test_gathered_kernel_matches_two_step(rng):
+    """Fused gather+matmul kernel == standalone one-hot gather -> matmul
+    (interpret mode keeps everything f32: bit-exact)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pt2tpu.ops.gather import make_packed_gather
+    from pt2tpu.ops.kernels.pallas_gather import onehot_matmul_pallas
+    from pt2tpu.ops.kernels.pallas_ternary import (
+        ternary_matmul_pallas,
+        ternary_matmul_pallas_gathered,
+        ternary_matmul_pallas_gathered_stacked,
+    )
+
+    K, n, bs = 256, 256, 128
+    codes = jnp.asarray(rng.integers(-1, 2, (n, K)), jnp.int8)
+    packed = packing.pack_ternary(codes, block_size=bs)
+    alpha = jnp.asarray(rng.uniform(0.4, 1.2, (K // bs, n)), jnp.float32)
+    mu = jnp.asarray(rng.normal(0, 0.05, (K // bs, n)), jnp.float32)
+    perm = jnp.asarray(rng.permutation(K), jnp.int32)
+    g = make_packed_gather(perm, K)
+    # pre-round to bf16: the two-step path casts the gathered x to bf16
+    # before its matmul (ternary_matmul_pallas wrapper); the fused path
+    # keeps full precision end-to-end — on identical bf16-representable
+    # inputs both are bit-exact in interpret mode.
+    x = jnp.asarray(rng.normal(size=(5, K)), jnp.float32)
+    x = x.astype(jnp.bfloat16).astype(jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        xg = onehot_matmul_pallas(x, g.packed)
+        want = ternary_matmul_pallas(xg, packed, alpha, mu, block_size=bs)
+        got = ternary_matmul_pallas_gathered(
+            x, g.packed, packed, alpha, mu, block_size=bs
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+        # stacked variant: 2 layers, pick each
+        packed2 = jnp.stack([packed, packed[:, ::-1]])
+        alpha2 = jnp.stack([alpha, alpha * 1.5])
+        mu2 = jnp.stack([mu, -mu])
+        gp2 = jnp.stack([g.packed, g.packed])
+        for li in (0, 1):
+            want_l = ternary_matmul_pallas(
+                xg, packed2[li], alpha2[li], mu2[li], block_size=bs
+            )
+            got_l = ternary_matmul_pallas_gathered_stacked(
+                x, gp2, packed2, alpha2, mu2, jnp.int32(li), block_size=bs
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got_l), np.asarray(want_l), err_msg=f"layer {li}"
+            )
+
+
+def test_gathered_kernel_a8_close(rng):
+    """Fused a8 variant stays within the A8 quantization envelope."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pt2tpu.ops.gather import make_packed_gather
+    from pt2tpu.ops.kernels.pallas_ternary import (
+        ternary_matmul_pallas_gathered,
+    )
+
+    K, n, bs = 256, 128, 128
+    codes = jnp.asarray(rng.integers(-1, 2, (n, K)), jnp.int8)
+    packed = packing.pack_ternary(codes, block_size=bs)
+    alpha = jnp.asarray(rng.uniform(0.4, 1.2, (K // bs, n)), jnp.float32)
+    mu = jnp.asarray(rng.normal(0, 0.05, (K // bs, n)), jnp.float32)
+    perm = jnp.asarray(rng.permutation(K), jnp.int32)
+    g = make_packed_gather(perm, K)
+    x = jnp.asarray(rng.normal(size=(3, K)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        exact = ternary_matmul_pallas_gathered(
+            x, g.packed, packed, alpha, mu, block_size=bs
+        )
+        a8 = ternary_matmul_pallas_gathered(
+            x, g.packed, packed, alpha, mu, block_size=bs, a8=True
+        )
+    rel = float(
+        jnp.linalg.norm(a8 - exact) / jnp.maximum(jnp.linalg.norm(exact), 1e-9)
+    )
+    assert rel < 0.02, rel
