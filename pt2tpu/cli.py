@@ -122,14 +122,20 @@ def _eval_params(cfg, params, args, tok):
         args.eval_dataset, cfg.vocab_size, split="test", tokenizer=tok,
         seed=args.seed,
     )
+    impl = "a8" if getattr(args, "a8", False) else "auto"
     res = evaluate_perplexity(
         cfg,
         params,
         stream,
         seq_len=min(args.seq_len, cfg.max_seq_len),
         max_windows=args.max_windows,
+        impl=impl,
     )
-    print(f"perplexity [{prov}]: {res['ppl']:.4f} over {res['tokens']} tokens")
+    tag = " (a8)" if impl == "a8" else ""
+    print(
+        f"perplexity{tag} [{prov}]: {res['ppl']:.4f} over "
+        f"{res['tokens']} tokens"
+    )
     return res
 
 
@@ -343,6 +349,9 @@ def build_parser():
     e.add_argument("--max_windows", type=int, default=None)
     e.add_argument("--seed", type=int, default=42)
     e.add_argument("--tokenizer", default=None)
+    e.add_argument("--a8", action="store_true",
+                   help="evaluate through the W2A8 kernel path (quality "
+                   "gate for bench --a8)")
     e.set_defaults(fn=cmd_eval)
 
     g = sub.add_parser("generate", help="greedy decode")
