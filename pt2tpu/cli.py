@@ -264,13 +264,12 @@ def cmd_serve(args):
     params = _maybe_shard(params, args.tp)
     engine = None
     if getattr(args, "paged", False):
-        if args.kv_int8:
-            raise SystemExit("--paged pools are bf16; drop --kv-int8")
         from .serve.paged import PagedServeEngine
 
         engine = PagedServeEngine(
             cfg, params, max_batch=args.max_batch, max_len=args.max_len,
             page_size=args.page_size, kv_pages=args.kv_pages,
+            kv_quant=args.kv_int8,
         )
     elif getattr(args, "draft", None):
         from .serve.engine import ServeEngine

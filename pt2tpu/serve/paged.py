@@ -40,20 +40,27 @@ __all__ = ["PagedKV", "PagedServeEngine", "init_paged"]
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PagedKV:
-    """Pooled paged cache. k/v: (L, P, ps, Hkv, hd); table: (B, maxp)
+    """Pooled paged cache. k/v: (L, P, ps, Hkv, hd) bf16 or int8; optional
+    k_scale/v_scale: (L, P, ps, Hkv, 1) f32 (int8 pools); table: (B, maxp)
     int32 page ids (unallocated entries point at page 0 and are masked by
     position validity)."""
 
     k: jax.Array
     v: jax.Array
+    k_scale: Optional[jax.Array]
+    v_scale: Optional[jax.Array]
     table: jax.Array
 
     def tree_flatten(self):
-        return (self.k, self.v, self.table), None
+        return (self.k, self.v, self.k_scale, self.v_scale, self.table), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def page_size(self) -> int:
@@ -69,15 +76,21 @@ class PagedKV:
 class _PagedView:
     """Duck-typed per-layer cache view for layer_forward (decode path):
     per-row single-token writes through the page table, reads gather the
-    row's pages into logical order."""
+    row's pages into logical order. With scales present the int8 path
+    exposes read_raw() so attention folds scales natively (no bf16
+    dequant copy — see models.common.attention)."""
 
     k: jax.Array  # (L, P, ps, Hkv, hd)
     v: jax.Array
+    k_scale: Optional[jax.Array]  # (L, P, ps, Hkv, 1) f32
+    v_scale: Optional[jax.Array]
     table: jax.Array  # (B, maxp)
     li: jax.Array
 
     def tree_flatten(self):
-        return (self.k, self.v, self.table, self.li), None
+        return (
+            self.k, self.v, self.k_scale, self.v_scale, self.table, self.li
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -85,35 +98,76 @@ class _PagedView:
 
     def write_rows(self, k_new, v_new, positions):
         """(B, 1, Hkv, hd) at per-row ``positions``."""
+        from .kvcache import _quantize_i8
+
         ps = self.k.shape[2]
         B = k_new.shape[0]
         rows = jnp.arange(B)
         page = self.table[rows, positions // ps]  # (B,)
         off = positions % ps
         li = jnp.broadcast_to(self.li, (B,))
-        k = self.k.at[li, page, off].set(k_new[:, 0].astype(self.k.dtype))
-        v = self.v.at[li, page, off].set(v_new[:, 0].astype(self.v.dtype))
-        return _PagedView(k, v, self.table, self.li)
+        if self.k_scale is None:
+            k = self.k.at[li, page, off].set(k_new[:, 0].astype(self.k.dtype))
+            v = self.v.at[li, page, off].set(v_new[:, 0].astype(self.v.dtype))
+            return _PagedView(k, v, None, None, self.table, self.li)
+        kq, ks = _quantize_i8(k_new)
+        vq, vs = _quantize_i8(v_new)
+        return _PagedView(
+            k=self.k.at[li, page, off].set(kq[:, 0]),
+            v=self.v.at[li, page, off].set(vq[:, 0]),
+            k_scale=self.k_scale.at[li, page, off].set(ks[:, 0]),
+            v_scale=self.v_scale.at[li, page, off].set(vs[:, 0]),
+            table=self.table,
+            li=self.li,
+        )
+
+    def _gather(self, pool):
+        p_li = jax.lax.dynamic_index_in_dim(pool, self.li, 0, keepdims=False)
+        B, maxp = self.table.shape
+        ps = p_li.shape[1]
+        return p_li[self.table].reshape(B, maxp * ps, *p_li.shape[2:])
 
     def read(self, dtype=jnp.bfloat16):
-        k_li = jax.lax.dynamic_index_in_dim(self.k, self.li, 0, keepdims=False)
-        v_li = jax.lax.dynamic_index_in_dim(self.v, self.li, 0, keepdims=False)
-        B, maxp = self.table.shape
-        ps = k_li.shape[1]
-        k = k_li[self.table].reshape(B, maxp * ps, *k_li.shape[2:])
-        v = v_li[self.table].reshape(B, maxp * ps, *v_li.shape[2:])
-        return k.astype(dtype), v.astype(dtype)
+        k = self._gather(self.k)
+        v = self._gather(self.v)
+        if self.k_scale is None:
+            return k.astype(dtype), v.astype(dtype)
+        ks = self._gather(self.k_scale)
+        vs = self._gather(self.v_scale)
+        return (
+            (k.astype(jnp.float32) * ks).astype(dtype),
+            (v.astype(jnp.float32) * vs).astype(dtype),
+        )
+
+    def read_raw(self):
+        k = self._gather(self.k)
+        v = self._gather(self.v)
+        if self.k_scale is None:
+            return k, v, None, None
+        return k, v, self._gather(self.k_scale), self._gather(self.v_scale)
 
     def carry(self):
-        return (self.k, self.v)
+        return (self.k, self.v, self.k_scale, self.v_scale)
 
 
 def init_paged(cfg, n_pages: int, page_size: int, max_batch: int,
-               max_pages_per_slot: int, dtype=jnp.bfloat16) -> PagedKV:
+               max_pages_per_slot: int, dtype=jnp.bfloat16,
+               quantized: bool = False) -> PagedKV:
     L, Hkv, hd = cfg.n_layers, cfg.kv_heads, cfg.hd
+    shape = (L, n_pages, page_size, Hkv, hd)
+    if quantized:
+        return PagedKV(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros((L, n_pages, page_size, Hkv, 1), jnp.float32),
+            v_scale=jnp.zeros((L, n_pages, page_size, Hkv, 1), jnp.float32),
+            table=jnp.zeros((max_batch, max_pages_per_slot), jnp.int32),
+        )
     return PagedKV(
-        k=jnp.zeros((L, n_pages, page_size, Hkv, hd), dtype),
-        v=jnp.zeros((L, n_pages, page_size, Hkv, hd), dtype),
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        k_scale=None,
+        v_scale=None,
         table=jnp.zeros((max_batch, max_pages_per_slot), jnp.int32),
     )
 
@@ -151,8 +205,8 @@ def _paged_decode_step(cfg, params, tokens, cache, positions, active,
         mask = slopes[None, :, None, None] * rel[:, None, None, :]
 
     def body(carry, li):
-        h, (kk, vv) = carry
-        view = _PagedView(kk, vv, cache.table, li)
+        h, kvt = carry
+        view = _PagedView(*kvt, cache.table, li)
         lp = dec.layer_view(params["layers"], li)
         y, io = dec.layer_forward(
             cfg, lp, h, cos, sin, mask, cache=view, cache_pos=positions,
@@ -161,8 +215,10 @@ def _paged_decode_step(cfg, params, tokens, cache, positions, active,
         )
         return (y, io.kv.carry()), None
 
-    (h, (kk, vv)), _ = jax.lax.scan(
-        body, (x, (cache.k, cache.v)), jnp.arange(cfg.n_layers)
+    (h, kvt), _ = jax.lax.scan(
+        body,
+        (x, (cache.k, cache.v, cache.k_scale, cache.v_scale)),
+        jnp.arange(cfg.n_layers),
     )
     logits = dec.unembed(cfg, params, h)[:, 0]
     if samp is None:
@@ -173,7 +229,7 @@ def _paged_decode_step(cfg, params, tokens, cache, positions, active,
             logits, base_key, uids, positions, temps, top_ks, top_ps
         )
     nxt = jnp.where(active, nxt, 0)
-    return nxt, PagedKV(kk, vv, cache.table)
+    return nxt, PagedKV(*kvt, cache.table)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "impl"))
@@ -186,7 +242,11 @@ def _paged_prefill(cfg, params, prompt, true_len, cache, pages, impl="auto",
     ps = cache.page_size
     Lb = prompt.shape[1]
     M = cache.max_len
-    tmp = init_cache(cfg, 1, Lb, dtype=cache.k.dtype)
+    tmp = init_cache(
+        cfg, 1, Lb,
+        dtype=jnp.bfloat16 if cache.quantized else cache.k.dtype,
+        quantized=cache.quantized,
+    )
 
     h = dec.embed_tokens(cfg, params, prompt)
     cos_all, sin_all, cosl_all, sinl_all = dec.pos_tables(cfg, M)
@@ -212,13 +272,19 @@ def _paged_prefill(cfg, params, prompt, true_len, cache, pages, impl="auto",
     logits = dec.unembed(cfg, params, h_last)[:, 0]
 
     # scatter (L, 1, Lb, Hkv, hd) -> pool pages (Lb/ps chunks)
-    tk, tv, _, _ = kvt
+    tk, tv, tks, tvs = kvt
     L = tk.shape[0]
     n_chunks = Lb // ps
-    tk = tk.reshape(L, n_chunks, ps, *tk.shape[3:])
-    tv = tv.reshape(L, n_chunks, ps, *tv.shape[3:])
-    k = cache.k.at[:, pages].set(tk)
-    v = cache.v.at[:, pages].set(tv)
+
+    def chunked(a):
+        return a.reshape(L, n_chunks, ps, *a.shape[3:])
+
+    k = cache.k.at[:, pages].set(chunked(tk))
+    v = cache.v.at[:, pages].set(chunked(tv))
+    k_scale = v_scale = None
+    if cache.quantized:
+        k_scale = cache.k_scale.at[:, pages].set(chunked(tks))
+        v_scale = cache.v_scale.at[:, pages].set(chunked(tvs))
 
     if samp is None:
         tok = jnp.argmax(logits[0]).astype(jnp.int32)
@@ -228,7 +294,7 @@ def _paged_prefill(cfg, params, prompt, true_len, cache, pages, impl="auto",
             logits, base_key, uid[None], (true_len - 1)[None],
             temp[None], top_k[None], top_p[None],
         )[0]
-    return tok, PagedKV(k, v, cache.table)
+    return tok, PagedKV(k, v, k_scale, v_scale, cache.table)
 
 
 class PagedServeEngine(ServeEngine):
@@ -242,7 +308,8 @@ class PagedServeEngine(ServeEngine):
 
     def __init__(self, cfg, params, max_batch=8, max_len=2048,
                  kv_pages: Optional[int] = None, page_size: int = 64,
-                 impl="auto", seed: int = 0, dtype=jnp.bfloat16):
+                 impl="auto", seed: int = 0, dtype=jnp.bfloat16,
+                 kv_quant: bool = False):
         if cfg.has_sliding:
             raise NotImplementedError(
                 "paged pool + sliding windows: use make_ring_engine_fns"
@@ -259,7 +326,8 @@ class PagedServeEngine(ServeEngine):
             seed=seed,
             prefill_fn=self._pf, decode_fn=_paged_decode_step,
             cache_factory=lambda c, b, m: init_paged(
-                c, kv_pages + 1, page_size, b, maxp, dtype
+                c, kv_pages + 1, page_size, b, maxp, dtype,
+                quantized=kv_quant,
             ),
         )
         self.ps = page_size

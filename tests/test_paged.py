@@ -98,3 +98,21 @@ def test_paged_sampling(model):
                 page_size=16, seed=5)
     assert a[0].out == b[0].out
     assert all(0 <= t < cfg.vocab_size for t in a[0].out)
+
+
+def test_paged_int8_matches_dense_int8(model):
+    """INT8 paged pools (values + scales paged together) must token-match
+    the dense int8 slot pool — quantization happens at identical write
+    granularity, so the caches are bit-identical."""
+    cfg, params = model
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, cfg.vocab_size, size=l).astype(np.int32)
+               for l in (4, 9, 6)]
+    max_news = [6, 5, 7]
+    _, want = _run(ServeEngine, cfg, params, prompts, max_news,
+                   kv_quant=True)
+    eng, got = _run(PagedServeEngine, cfg, params, prompts, max_news,
+                    page_size=16, kv_quant=True)
+    assert eng.cache.quantized
+    for w, g in zip(want, got):
+        assert g.out == w.out, (g.uid, g.out, w.out)
