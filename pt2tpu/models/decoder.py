@@ -600,6 +600,8 @@ def layer_forward(
     attn_fn=None,  # cache-less attention override (q, k, v, mask, scale=,
     # softcap=) -> ctx — e.g. parallel.cp's ring attention, which computes
     # causality across sequence shards internally.
+    moe_fn=None,  # MoE-MLP override (cfg, lp, h, impl, layer_idx, taps=)
+    # -> (B, L, D) — e.g. parallel.ep's local-expert + psum combine.
 ) -> Tuple[jax.Array, LayerIO]:
     """One decoder layer. Returns (output hidden, LayerIO).
 
@@ -689,7 +691,7 @@ def layer_forward(
     if return_taps:
         taps["mlp_in"] = h
     if cfg.is_moe:
-        mo = _moe_mlp(
+        mo = (moe_fn or _moe_mlp)(
             cfg, lp, h, impl, layer_idx if layer_idx is not None else 0,
             taps=taps if return_taps else None,
         )

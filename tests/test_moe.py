@@ -245,3 +245,27 @@ def test_moe_engine_continuous_batching(moe_quantized):
             cfg, qparams, jnp.asarray(p[None, :]), max_new=m, max_len=64
         ))[0].tolist()
         assert r.out == want, (r.uid, r.out, want)
+
+
+def test_ep_forward_full_model(moe_model, moe_quantized):
+    """Full expert-parallel forward (moe_fn hook + psum per layer) ==
+    single-device forward, dense and quantized."""
+    from pt2tpu.parallel.ep import ep_forward
+    from pt2tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"expert": 4}, jax.devices()[:4])
+    toks = jax.random.randint(jax.random.PRNGKey(12), (2, 10), 0, 256)
+
+    cfg, params = moe_model
+    want = dec.forward(cfg, params, toks, impl="xla")
+    got = ep_forward(cfg, params, toks, mesh, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+    cfg, _, qparams, _ = moe_quantized
+    want_q = dec.forward(cfg, qparams, toks, impl="xla")
+    got_q = ep_forward(cfg, qparams, toks, mesh, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(got_q), np.asarray(want_q), rtol=5e-4, atol=5e-4
+    )
