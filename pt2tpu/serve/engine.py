@@ -148,31 +148,53 @@ def _decode_step(cfg, params, tokens, cache, positions, active, impl="auto",
 @functools.partial(jax.jit, static_argnames=("cfg_t", "cfg_d", "k", "impl"))
 def _spec_decode_step(
     cfg_t, params_t, cfg_d, params_d, tokens, t_cache, d_cache, positions,
-    active, k, impl="auto",
+    active, k, impl="auto", samp=None,
 ):
-    """One speculative continuous-batching step: draft k tokens per row
-    greedily, verify all rows in ONE (B, k+1) per-row target forward.
+    """One speculative continuous-batching step: draft k tokens per row,
+    verify all rows in ONE (B, k+1) per-row target forward.
 
     Returns (votes (B, k+1), n_acc (B,), t_cache, d_cache): row b emits
     ``votes[b, :n_acc[b]+1]`` and its next feed token is
     ``votes[b, n_acc[b]]`` at position ``positions[b] + n_acc[b] + 1``.
-    Greedy-exact: emitted tokens match the non-speculative greedy engine.
+
+    Greedy rows (samp None, or temp <= 0): argmax draft + argmax verify —
+    token-exact vs the non-speculative greedy engine. Sampled rows use
+    SPECULATIVE SAMPLING (Leviathan/Chen rejection): drafts sample from
+    the draft's filtered distribution, acceptance tests pt/pd, rejections
+    resample from the residual — the emitted stream is distributed exactly
+    as target-only sampling (serve.sampling.spec_accept_per_row; the
+    random STREAM differs from the plain sampled engine's, by design).
 
     k+1 draft steps (not k): the extra step writes draft KV at position
     c+k so a fully-accepted round leaves no hole in the draft cache (see
     serve.speculative._spec_generate, same invariant per row).
     """
+    from .sampling import _spec_keys, filtered_logits, spec_accept_per_row
+
     B = tokens.shape[0]
+    if samp is not None:
+        base_key, uids, temps, top_ks, top_ps = samp
+        sampled_row = temps > 0.0  # (B,)
 
     def d_body(carry, i):
         dc, tok = carry
         lg, dc = _rows_forward(
             cfg_d, params_d, tok[:, None], dc, positions + i, impl
         )
-        nxt = jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32)
-        return (dc, nxt), nxt
+        lg = lg[:, 0]  # (B, V)
+        greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        if samp is None:
+            return (dc, greedy_tok), (greedy_tok, jnp.zeros((B, 0)))
+        flt = filtered_logits(lg, temps, top_ks, top_ps)
+        pd_i = jax.nn.softmax(flt, axis=-1)  # (B, V)
+        kd = _spec_keys(base_key, uids, positions + i, 1, salt=1)[:, 0]
+        stok = jax.vmap(jax.random.categorical)(
+            kd, jnp.log(pd_i + 1e-20)
+        ).astype(jnp.int32)
+        nxt = jnp.where(sampled_row, stok, greedy_tok)
+        return (dc, nxt), (nxt, pd_i)
 
-    (d_cache, _), drafts = jax.lax.scan(
+    (d_cache, _), (drafts, pds) = jax.lax.scan(
         d_body, (d_cache, tokens), jnp.arange(k + 1)
     )
     drafts = jnp.transpose(drafts[:k])  # (B, k)
@@ -187,6 +209,23 @@ def _spec_decode_step(
     n_acc = jnp.argmin(
         jnp.concatenate([ok, jnp.zeros((B, 1), bool)], axis=1), axis=1
     ).astype(jnp.int32)  # first False per row; k if all accepted
+
+    if samp is not None:
+        pd = jnp.transpose(pds[:k], (1, 0, 2))  # (B, k, V)
+        V = vlogits.shape[-1]
+        flt_t = filtered_logits(
+            vlogits.reshape(B * (k + 1), V),
+            jnp.repeat(temps, k + 1),
+            jnp.repeat(top_ks, k + 1),
+            jnp.repeat(top_ps, k + 1),
+        ).reshape(B, k + 1, V)
+        pt = jax.nn.softmax(flt_t, axis=-1)
+        s_tokens, s_nacc = spec_accept_per_row(
+            base_key, uids, positions, drafts, pd, pt
+        )
+        votes = jnp.where(sampled_row[:, None], s_tokens, votes)
+        n_acc = jnp.where(sampled_row, s_nacc, n_acc)
+
     n_acc = jnp.where(active, n_acc, 0)
     votes = jnp.where(active[:, None], votes, 0)
     return votes, n_acc, t_cache, d_cache
@@ -372,11 +411,6 @@ class ServeEngine:
     ) -> Request:
         if sampling is not None and sampling.greedy:
             sampling = None
-        if sampling is not None and self.draft is not None:
-            raise ValueError(
-                "speculative engine verifies greedily; per-request sampling "
-                "+ speculation is not supported yet"
-            )
         req = Request(
             uid=self._uid,
             prompt=np.asarray(prompt, np.int32).reshape(-1),
@@ -585,11 +619,23 @@ class ServeEngine:
         """One speculative step: every active row advances 1..spec_k+1
         tokens (accepted draft prefix + the verify bonus token)."""
         cfg_d, params_d = self.draft
+        samp = None
+        if any(
+            self.slots[s] is not None and self.slots[s].sampling is not None
+            for s in range(self.B)
+        ):
+            samp = (
+                self._base_key,
+                jnp.asarray(self.uids),
+                jnp.asarray(self.temps),
+                jnp.asarray(self.topks),
+                jnp.asarray(self.topps),
+            )
         votes, n_acc, self.cache, self.d_cache = _spec_decode_step(
             self.cfg, self.params, cfg_d, params_d,
             jnp.asarray(self.tokens), self.cache, self.d_cache,
             jnp.asarray(self.positions), jnp.asarray(active),
-            self.spec_k, self.impl,
+            self.spec_k, self.impl, samp,
         )
         votes = np.asarray(votes)
         n_acc = np.asarray(n_acc)

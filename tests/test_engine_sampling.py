@@ -189,10 +189,53 @@ def test_spec_engine_eos_stop(model):
                                  else len(req.out)]
 
 
-def test_spec_engine_rejects_sampling(model):
+def test_spec_engine_sampled_requests(model, other_model):
+    """Speculative SAMPLING (rejection scheme): sampled requests ride the
+    draft/verify path — deterministic per seed, valid tokens; greedy rows
+    in the same batch stay exact vs the plain greedy engine."""
     cfg, params = model
-    eng = ServeEngine(cfg, params, max_batch=2, max_len=64,
-                      draft=(cfg, params))
-    with pytest.raises(ValueError):
-        eng.submit(np.zeros(3, np.int32), 4,
-                   sampling=SamplingConfig(temperature=1.0))
+    _, params_d = other_model
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, cfg.vocab_size, size=l).astype(np.int32)
+               for l in (4, 6)]
+    sc = SamplingConfig(temperature=0.9, top_k=24)
+    mixed = [sc, None]  # one sampled + one greedy, same spec engine
+
+    _, a = _run_engine(cfg, params, prompts, [7, 6], sampl=mixed,
+                       draft=(cfg, params_d), spec_k=3, seed=11)
+    _, b = _run_engine(cfg, params, prompts, [7, 6], sampl=mixed,
+                       draft=(cfg, params_d), spec_k=3, seed=11)
+    assert a[0].out == b[0].out  # sampled stream deterministic per seed
+    assert all(0 <= t < cfg.vocab_size for t in a[0].out)
+    assert len(a[0].out) == 7
+
+    # the greedy row must match the NON-speculative greedy engine exactly
+    _, want = _run_engine(cfg, params, [prompts[1]], [6])
+    assert a[1].out == want[0].out
+
+
+def test_spec_accept_math_is_target_distributed():
+    """The rejection scheme's emitted tokens are distributed exactly as
+    target-only sampling (empirical TV vs analytic acceptance rate)."""
+    from pt2tpu.serve.sampling import _spec_keys, spec_accept_per_row
+
+    key = jax.random.PRNGKey(0)
+    V, k, N = 8, 1, 30000
+    rng = np.random.default_rng(0)
+    pt0 = rng.dirichlet(np.ones(V)).astype(np.float32)
+    pd0 = rng.dirichlet(np.ones(V)).astype(np.float32)
+    pt = jnp.tile(jnp.asarray(pt0)[None, None], (N, k + 1, 1))
+    pd = jnp.tile(jnp.asarray(pd0)[None, None], (N, k, 1))
+    uids = jnp.zeros((N,), jnp.int32)
+    positions = jnp.arange(N, dtype=jnp.int32) * 10
+    kd = _spec_keys(key, uids, positions, k, salt=1)
+    drafts = jax.vmap(jax.vmap(jax.random.categorical))(
+        kd, jnp.log(pd + 1e-20)
+    ).astype(jnp.int32)
+    tokens, n_acc = spec_accept_per_row(key, uids, positions, drafts, pd, pt)
+    emp = np.bincount(np.asarray(tokens[:, 0]), minlength=V) / N
+    tv = 0.5 * np.abs(emp - pt0).sum()
+    assert tv < 0.02, tv
+    acc = float(np.mean(np.asarray(n_acc) == k))
+    theory = float(np.minimum(pt0, pd0).sum())
+    assert abs(acc - theory) < 0.02, (acc, theory)
