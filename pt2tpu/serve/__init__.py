@@ -2,6 +2,7 @@ from .generate import forward_cached, generate, greedy_generate, prefill
 from .sampling import SamplingConfig, sample, sample_per_row
 from .kvcache import KVCache, init_cache
 from .ring import RingCaches, init_ring_caches, ring_generate
+from .engine import load_engine_state, save_engine_state
 from .speculative import SpecStats, speculative_generate
 
 __all__ = [
@@ -19,4 +20,6 @@ __all__ = [
     "ring_generate",
     "SpecStats",
     "speculative_generate",
+    "save_engine_state",
+    "load_engine_state",
 ]

@@ -37,7 +37,7 @@ from ..models import decoder as dec
 from .kvcache import KVCache, KVStackedView, init_cache
 from .sampling import SamplingConfig, sample_per_row
 
-__all__ = ["Request", "ServeEngine"]
+__all__ = ["Request", "ServeEngine", "save_engine_state", "load_engine_state"]
 
 
 @dataclasses.dataclass
@@ -670,3 +670,93 @@ class ServeEngine:
         steps = 0
         while steps < max_steps and self.step():
             steps += 1
+
+
+# ----------------------------------------------------------------------
+# Preemption-safe serving: snapshot/restore of the full scheduler state
+# (SURVEY.md §5 failure-handling row — TPU preemption is the real failure
+# mode; the quantization side already journals per layer).
+def save_engine_state(eng: "ServeEngine", path: str) -> None:
+    """Serialize the engine's complete state — KV cache pytree, per-slot
+    host arrays, queue + in-flight requests — so a preempted server can
+    resume mid-request on a fresh process (token-identical continuation,
+    see tests/test_engine_sampling.py)."""
+    import os
+    import pickle
+
+    os.makedirs(path, exist_ok=True)
+    leaves, treedef = jax.tree_util.tree_flatten(eng.cache)
+    arrays = {}
+    for i, x in enumerate(leaves):
+        a = np.asarray(x)
+        if "bfloat16" in str(a.dtype):
+            a = a.view(np.uint16)  # npz cannot store bf16
+        arrays[f"leaf{i}"] = a
+    np.savez(os.path.join(path, "cache.npz"), **arrays)
+
+    def req_state(r):
+        return {
+            "uid": r.uid, "prompt": np.asarray(r.prompt),
+            "max_new": r.max_new, "eos_id": r.eos_id, "out": list(r.out),
+            "done": r.done,
+            "sampling": None if r.sampling is None else dataclasses.asdict(
+                r.sampling
+            ),
+        }
+
+    host = {
+        "slots": [None if r is None else req_state(r) for r in eng.slots],
+        "queue": [req_state(r) for r in eng.queue],
+        "positions": eng.positions.copy(),
+        "tokens": eng.tokens.copy(),
+        "uids": eng.uids.copy(),
+        "temps": eng.temps.copy(),
+        "topks": eng.topks.copy(),
+        "topps": eng.topps.copy(),
+        "uid_counter": eng._uid,
+        "stats": dict(eng.stats),
+    }
+    with open(os.path.join(path, "host.pkl"), "wb") as f:
+        pickle.dump(host, f)
+
+
+def load_engine_state(eng: "ServeEngine", path: str) -> List[Request]:
+    """Restore a snapshot into a freshly-constructed engine (same cfg /
+    params / pool geometry). Returns the restored in-flight + queued
+    Requests (callers re-acquire their handles)."""
+    import os
+    import pickle
+
+    cur_leaves, treedef = jax.tree_util.tree_flatten(eng.cache)
+    with np.load(os.path.join(path, "cache.npz")) as z:
+        leaves = []
+        for i, cur in enumerate(cur_leaves):
+            a = z[f"leaf{i}"]
+            if a.dtype == np.uint16 and cur.dtype == jnp.bfloat16:
+                a = a.view(jnp.bfloat16)
+            leaves.append(jnp.asarray(a, cur.dtype))
+    eng.cache = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    with open(os.path.join(path, "host.pkl"), "rb") as f:
+        host = pickle.load(f)
+
+    def mk_req(s):
+        sc = s["sampling"]
+        return Request(
+            uid=s["uid"], prompt=np.asarray(s["prompt"], np.int32),
+            max_new=s["max_new"], eos_id=s["eos_id"],
+            sampling=None if sc is None else SamplingConfig(**sc),
+            out=list(s["out"]), done=s["done"],
+        )
+
+    eng.slots = [None if s is None else mk_req(s) for s in host["slots"]]
+    eng.queue = [mk_req(s) for s in host["queue"]]
+    eng.positions[:] = host["positions"]
+    eng.tokens[:] = host["tokens"]
+    eng.uids[:] = host["uids"]
+    eng.temps[:] = host["temps"]
+    eng.topks[:] = host["topks"]
+    eng.topps[:] = host["topps"]
+    eng._uid = host["uid_counter"]
+    eng.stats.update(host["stats"])
+    return [r for r in eng.slots if r is not None] + list(eng.queue)

@@ -239,3 +239,38 @@ def test_spec_accept_math_is_target_distributed():
     acc = float(np.mean(np.asarray(n_acc) == k))
     theory = float(np.minimum(pt0, pd0).sum())
     assert abs(acc - theory) < 0.02, (acc, theory)
+
+
+def test_engine_snapshot_restore_mid_flight(model, tmp_path):
+    """Preemption recovery: snapshot a live engine mid-decode, restore
+    into a fresh process-equivalent engine, and finish — token-identical
+    to the uninterrupted run (per-(seed,uid,position) sampling keys make
+    the random stream restore-safe)."""
+    from pt2tpu.serve.engine import load_engine_state, save_engine_state
+
+    cfg, params = model
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(0, cfg.vocab_size, size=l).astype(np.int32)
+               for l in (4, 6, 5)]
+    max_news = [8, 7, 9]
+    sc = SamplingConfig(temperature=0.8, top_k=16)
+    sampl = [None, sc, None]
+
+    # uninterrupted reference
+    _, want = _run_engine(cfg, params, prompts, max_news, sampl=sampl,
+                          seed=3)
+
+    # interrupted run: 3 steps, snapshot, restore into a fresh engine
+    eng = ServeEngine(cfg, params, max_batch=2, max_len=64, seed=3)
+    for i, (p, m) in enumerate(zip(prompts, max_news)):
+        eng.submit(p, m, sampling=sampl[i])
+    for _ in range(3):
+        eng.step()
+    save_engine_state(eng, str(tmp_path / "snap"))
+
+    eng2 = ServeEngine(cfg, params, max_batch=2, max_len=64, seed=3)
+    restored = load_engine_state(eng2, str(tmp_path / "snap"))
+    eng2.run(max_steps=300)
+    got = {r.uid: r.out for r in restored}
+    for w in want:
+        assert got[w.uid] == w.out, (w.uid, got[w.uid], w.out)
