@@ -194,6 +194,13 @@ def main():
     cfg = cfg.with_(max_seq_len=max(cfg.max_seq_len, args.prompt + args.new))
     impl = "a8" if args.a8 else "auto"
 
+    # On-chip self-check of the fused gather+matmul kernel (disables it
+    # and falls back to the two-step path on compile failure or mismatch)
+    if on_tpu:
+        from pt2tpu.ops import ternary_matmul as _tm
+
+        _tm.verify_fused_gather()
+
     tparams = random_ternary_params(
         cfg,
         jax.random.PRNGKey(0),

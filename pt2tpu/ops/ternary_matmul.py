@@ -54,6 +54,7 @@ __all__ = [
     "ternary_matmul_xla",
     "ternary_linear_apply",
     "ternary_linear_apply_stacked",
+    "verify_fused_gather",
 ]
 
 
@@ -225,6 +226,61 @@ def pack_layer(
     )
 
 
+FUSED_GATHER = True
+"""Use the fused SSR-gather + matmul kernel when a packed gather is
+attached (one pallas call instead of two). interpret-mode bit-exact;
+:func:`verify_fused_gather` probes the real backend once and flips this
+off on compile failure or mismatch (bench.py calls it before measuring)."""
+
+
+def verify_fused_gather(verbose: bool = True) -> bool:
+    """On-accelerator self-check of the fused gather+matmul kernel vs the
+    two-step path; disables FUSED_GATHER on failure. Returns the flag."""
+    global FUSED_GATHER
+    import sys
+
+    import numpy as np
+
+    if jax.default_backend() == "cpu" or not FUSED_GATHER:
+        return FUSED_GATHER
+    try:
+        from ..utils.randmodel import random_ternary_linear
+        from .kernels.pallas_ternary import (
+            ternary_matmul_pallas,
+            ternary_matmul_pallas_gathered,
+        )
+
+        p = random_ternary_linear(
+            jax.random.PRNGKey(0), 512, 512, perm_mode="ssr"
+        )
+        x = jax.random.normal(
+            jax.random.PRNGKey(1), (4, 512), jnp.bfloat16
+        )
+        xg = gather_apply(p.gather, x, impl="pallas")
+        want = np.asarray(ternary_matmul_pallas(
+            jnp.asarray(xg, jnp.bfloat16), p.packed, p.alpha, p.mu,
+            block_size=128,
+        ))
+        got = np.asarray(ternary_matmul_pallas_gathered(
+            x, p.gather.packed, p.packed, p.alpha, p.mu, block_size=128
+        ))
+        rel = float(
+            np.linalg.norm(got - want)
+            / max(float(np.linalg.norm(want)), 1e-9)
+        )
+        if rel > 1e-4:
+            raise AssertionError(f"fused gather mismatch: rel {rel:.2e}")
+    except Exception as e:  # compile failure or mismatch: fall back
+        FUSED_GATHER = False
+        if verbose:
+            print(
+                f"fused gather+matmul disabled ({type(e).__name__}: {e}); "
+                "falling back to the two-step path",
+                file=sys.stderr,
+            )
+    return FUSED_GATHER
+
+
 def _input_lanes(
     p: PackedTernaryLinear,
     x2: jax.Array,  # (B, m)
@@ -308,7 +364,7 @@ def ternary_linear_apply_stacked(
         and bs % 128 == 0
         and n % 128 == 0
     )
-    if use_pallas and p.gather is not None:
+    if use_pallas and p.gather is not None and FUSED_GATHER:
         # Fused SSR gather: the one-hot perm runs as a prologue inside the
         # matmul kernel (one call instead of two, no xg HBM round trip).
         from .kernels.pallas_ternary import (
@@ -365,7 +421,7 @@ def ternary_linear_apply(
         and bs % 128 == 0
         and p.out_features % 128 == 0
     )
-    if use_pallas and p.gather is not None:
+    if use_pallas and p.gather is not None and FUSED_GATHER:
         from .kernels.pallas_ternary import ternary_matmul_pallas_gathered
 
         out = ternary_matmul_pallas_gathered(
