@@ -715,6 +715,8 @@ def save_engine_state(eng: "ServeEngine", path: str) -> None:
         "topps": eng.topps.copy(),
         "uid_counter": eng._uid,
         "stats": dict(eng.stats),
+        # engine-subclass extras (e.g. the paged engine's page free list)
+        "extra": getattr(eng, "_snapshot_extra", lambda: None)(),
     }
     with open(os.path.join(path, "host.pkl"), "wb") as f:
         pickle.dump(host, f)
@@ -759,4 +761,6 @@ def load_engine_state(eng: "ServeEngine", path: str) -> List[Request]:
     eng.topps[:] = host["topps"]
     eng._uid = host["uid_counter"]
     eng.stats.update(host["stats"])
+    if host.get("extra") is not None:
+        eng._restore_extra(host["extra"])
     return [r for r in eng.slots if r is not None] + list(eng.queue)

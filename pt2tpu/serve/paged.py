@@ -410,3 +410,19 @@ class PagedServeEngine(ServeEngine):
                         "future work)"
                     )
         return super().step()
+
+    # ------------------------------------------------ snapshot support --
+    def _snapshot_extra(self):
+        """Host page bookkeeping for save_engine_state (the device-side
+        table rides the cache pytree; the free list / per-slot page lists
+        live here)."""
+        return {
+            "free": list(self._free),
+            "pages": [list(p) for p in self._pages],
+            "table": self._table.copy(),
+        }
+
+    def _restore_extra(self, extra) -> None:
+        self._free = list(extra["free"])
+        self._pages = [list(p) for p in extra["pages"]]
+        self._table[:] = extra["table"]

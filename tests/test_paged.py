@@ -116,3 +116,32 @@ def test_paged_int8_matches_dense_int8(model):
     assert eng.cache.quantized
     for w, g in zip(want, got):
         assert g.out == w.out, (g.uid, g.out, w.out)
+
+
+def test_paged_snapshot_restore(model, tmp_path):
+    """Snapshot/restore must carry the page bookkeeping: a restored paged
+    engine finishes token-identically to the uninterrupted run."""
+    from pt2tpu.serve.engine import load_engine_state, save_engine_state
+
+    cfg, params = model
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, cfg.vocab_size, size=l).astype(np.int32)
+               for l in (5, 9)]
+    max_news = [10, 8]
+    _, want = _run(PagedServeEngine, cfg, params, prompts, max_news,
+                   page_size=16)
+
+    eng = PagedServeEngine(cfg, params, max_batch=2, max_len=64,
+                           page_size=16)
+    for p, m in zip(prompts, max_news):
+        eng.submit(p, m)
+    for _ in range(3):
+        eng.step()
+    save_engine_state(eng, str(tmp_path / "snap"))
+    eng2 = PagedServeEngine(cfg, params, max_batch=2, max_len=64,
+                            page_size=16)
+    restored = load_engine_state(eng2, str(tmp_path / "snap"))
+    eng2.run(max_steps=300)
+    got = {r.uid: r.out for r in restored}
+    for w in want:
+        assert got[w.uid] == w.out, (w.uid, got[w.uid], w.out)
