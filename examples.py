@@ -343,10 +343,15 @@ def example_engine_sampling():
     spec = ServeEngine(cfg, params, max_batch=2, max_len=64,
                        draft=(cfg, params), spec_k=3)
     r = spec.submit(rng.integers(0, cfg.vocab_size, size=4), 8)
+    rs = spec.submit(
+        rng.integers(0, cfg.vocab_size, size=5), 8,
+        sampling=SamplingConfig(temperature=0.9, top_k=20),
+    )  # speculative SAMPLING: rejection-scheme verify, target-distributed
     spec.run()
     s = spec.stats_spec
-    print(f"  speculative engine: {r.out} accept "
+    print(f"  speculative engine (greedy): {r.out} accept "
           f"{s['accepted']}/{s['drafted']} in {spec.stats['steps']} steps")
+    print(f"  speculative engine (sampled): {rs.out}")
 
 
 def example_paged_kv():
