@@ -175,11 +175,39 @@ def main():
         return _dense_probe_main(args)
     t_start = time.time()
 
+    # Backend watchdog: if the device tunnel is dead, backend init HANGS
+    # forever (observed after a tunnel-relay crash). Self-limit so the
+    # round pipeline records an honest null row instead of hanging.
+    import os as _os
+    import threading as _th
+
+    _backend_up = _th.Event()
+
+    def _watch():
+        if not _backend_up.wait(300.0):
+            print(
+                "device backend failed to initialize within 300 s "
+                "(device tunnel down?); emitting null metric",
+                file=sys.stderr,
+            )
+            print(json.dumps({
+                "metric": "ternary llama-2-7b greedy decode tokens/s/chip "
+                "(batch 1)",
+                "value": None,
+                "unit": "tok/s",
+                "vs_baseline": None,
+                "error": "device backend unavailable",
+            }), flush=True)
+            _os._exit(0)
+
+    _th.Thread(target=_watch, daemon=True).start()
+
     from pt2tpu.models import decoder as dec
     from pt2tpu.models import get_config
     from pt2tpu.utils.randmodel import random_ternary_params
 
     on_tpu = jax.default_backend() == "tpu"
+    _backend_up.set()  # tunnel answered; cancel the watchdog
     if not on_tpu:
         print(
             "warning: not on TPU, benchmarking tiny config on "
