@@ -104,14 +104,17 @@ def _pick_tiles(n: int, nb: int, bs: int, Bp: int, want_tn: int, want_bps: int):
     return tn, bps
 
 
-def _accumulate_step(xs_src, packed_ref, alpha_ref, mu_ref, o_ref,
+def _accumulate_step(xs_src, packed_ref, alpha_ref, mu_ref,
                      bps, bs, a8, force_telescope):
-    """Shared per-grid-step accumulation: one (B, bps*bs) x-tile against
-    bps packed scale blocks. ``xs_src`` is a jnp array (bf16/f32)."""
+    """Shared per-grid-step partial sum: one (B, bps*bs) x-tile against
+    bps packed scale blocks. ``xs_src`` is a jnp array (bf16/f32).
+    Returns the (B, tile_n) f32 contribution; the caller owns accumulation
+    (VMEM output tile or scratch accumulator)."""
     bs4 = bs // 4
     cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     B = xs_src.shape[0]
-    acc = jnp.zeros_like(o_ref)
+    tn = alpha_ref.shape[1]
+    acc = jnp.zeros((B, tn), jnp.float32)
 
     # The kernel is VPU *pass*-bound (each full-size elementwise op is
     # one 8x128/cycle sweep), so scale application moves to the MXU:
@@ -196,7 +199,7 @@ def _accumulate_step(xs_src, packed_ref, alpha_ref, mu_ref, o_ref,
             u = jnp.concatenate(planes, axis=0).astype(cdt)
             d = jnp.dot(xb, u, preferred_element_type=jnp.float32)
         acc += d * alpha_ref[p : p + 1, :].astype(jnp.float32)
-    o_ref[:] += acc
+    return acc
 
 
 def _make_kernel(bps: int, bs: int, a8: bool = False, telescope=None):
@@ -207,8 +210,8 @@ def _make_kernel(bps: int, bs: int, a8: bool = False, telescope=None):
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        _accumulate_step(
-            x_ref[:], packed_ref, alpha_ref, mu_ref, o_ref,
+        o_ref[:] += _accumulate_step(
+            x_ref[:], packed_ref, alpha_ref, mu_ref,
             bps, bs, a8, telescope,
         )
 
@@ -231,13 +234,24 @@ def _gather_prologue(x_ref, gp_ref, xg_ref):
     xg_ref[:] = xg.astype(xg_ref.dtype)
 
 
-def _make_gather_kernel(bps: int, bs: int, a8: bool = False):
+def _make_gather_kernel(bps: int, bs: int, nj: int, a8: bool = False):
     """Fused SSR-gather + ternary matmul: grid (B/tb, nb/bps [j], n/tn [i])
     — i innermost so the gathered x tile (scratch) is computed ONCE per
     (b, j) and reused across all output tiles. Drops the standalone gather
-    kernel call + its HBM round trip from the decode path."""
+    kernel call + its HBM round trip from the decode path.
 
-    def _kernel(x_ref, gp_ref, packed_ref, alpha_ref, mu_ref, o_ref, xg_ref):
+    Reduction correctness: with i innermost, each o_ref block is revisited
+    NON-consecutively across j. On hardware, an output VMEM window does not
+    survive (and is not re-fetched) between non-adjacent visits — '+=' into
+    o_ref across j silently drops partial sums whenever n/tn > 1 (interpret
+    mode hides this; caught on-chip 2026-08, logits off by >1 at 7B qkv/
+    gateup shapes). So partial sums live in a per-i-tile f32 VMEM scratch
+    ``acc_ref`` (ni, tb, tn) that persists across grid steps, and o_ref is
+    written exactly once, on the final j step (its earlier copy-outs write
+    garbage that the last, in-order copy-out overwrites)."""
+
+    def _kernel(x_ref, gp_ref, packed_ref, alpha_ref, mu_ref, o_ref,
+                xg_ref, acc_ref):
         j = pl.program_id(1)
         i = pl.program_id(2)
 
@@ -245,14 +259,20 @@ def _make_gather_kernel(bps: int, bs: int, a8: bool = False):
         def _():
             _gather_prologue(x_ref, gp_ref, xg_ref)
 
-        @pl.when(j == 0)
-        def _():
-            o_ref[:] = jnp.zeros_like(o_ref)
-
-        _accumulate_step(
-            xg_ref[:], packed_ref, alpha_ref, mu_ref, o_ref,
-            bps, bs, a8, None,
+        step = _accumulate_step(
+            xg_ref[:], packed_ref, alpha_ref, mu_ref, bps, bs, a8, None,
         )
+        if nj == 1:
+            o_ref[:] = step
+            return
+        # where() (select, not multiply) keeps a NaN-filled uninitialized
+        # scratch from poisoning the j == 0 step.
+        acc = jnp.where(j == 0, jnp.zeros_like(step), acc_ref[i]) + step
+        acc_ref[i] = acc
+
+        @pl.when(j == nj - 1)
+        def _():
+            o_ref[:] = acc
 
     return _kernel
 
@@ -363,13 +383,14 @@ def ternary_matmul_pallas_stacked(
     return out[:B]
 
 
-def _gather_vmem_estimate(tn, bps, bs, Bp, D):
+def _gather_vmem_estimate(tn, bps, bs, Bp, D, n):
     base = _vmem_estimate(tn, bps, bs, Bp)
     gp2 = 2 * (D // 4) * bps * bs  # G block, double-buffered
     xfull2 = 2 * Bp * D * 2
     scratch = Bp * bps * bs * 2
     gtemps = 4 * 32 * bps * bs * 4 + 128 * bps * bs * 2
-    return base + gp2 + xfull2 + scratch + gtemps
+    acc = n * Bp * 4  # (ni, tb, tn) f32 accumulator: ni*tn == n, tn-invariant
+    return base + gp2 + xfull2 + scratch + gtemps + acc
 
 
 def _pick_tiles_gathered(n, nb, bs, Bp, D, want_tn, want_bps):
@@ -382,7 +403,7 @@ def _pick_tiles_gathered(n, nb, bs, Bp, D, want_tn, want_bps):
         {b for b in range(8, nb + 1, 8) if nb % b == 0} | {nb}, reverse=True
     )
     bps = max((b for b in bps_all if b <= max(want_bps, 8)), default=nb)
-    while _gather_vmem_estimate(tn, bps, bs, Bp, D) > budget:
+    while _gather_vmem_estimate(tn, bps, bs, Bp, D, n) > budget:
         smaller_bps = [b for b in bps_all if b < bps]
         if smaller_bps:
             bps = smaller_bps[0]
@@ -426,7 +447,11 @@ def ternary_matmul_pallas_gathered(
     B, m = x.shape
     if m < D:
         x = jnp.pad(x, ((0, 0), (0, D - m)))
-    tb = min(max(16, -(-B // 16) * 16), 256)
+    # Row tile capped at 64 (not 256): the per-i-tile accumulator scratch
+    # costs n*tb*4 bytes regardless of tiling, so big row tiles can't fit.
+    # Large-B callers should take the two-step path (ternary_linear_apply
+    # routes B > 64 there); this cap keeps the kernel correct at any B.
+    tb = min(max(16, -(-B // 16) * 16), 64)
     Bp = -(-B // tb) * tb
     tn, bps = _pick_tiles_gathered(n, nb, bs, tb, D, tile_n, blocks_per_step)
     bs4 = bs // 4
@@ -439,9 +464,10 @@ def ternary_matmul_pallas_gathered(
             jnp.bfloat16 if jax.default_backend() == "tpu" else x.dtype
         )
 
-    grid = (Bp // tb, nb // bps, n // tn)  # i innermost: xg reused
+    nj, ni = nb // bps, n // tn
+    grid = (Bp // tb, nj, ni)  # i innermost: xg reused
     out = pl.pallas_call(
-        _make_gather_kernel(bps, bs, a8),
+        _make_gather_kernel(bps, bs, nj, a8),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -472,7 +498,8 @@ def ternary_matmul_pallas_gathered(
                 jnp.bfloat16
                 if jax.default_backend() == "tpu"
                 else jnp.float32,
-            )
+            ),
+            pltpu.VMEM((ni, tb, tn), jnp.float32),
         ],
     )(x, gpacked, packed, alpha, mu)
     if a8:
@@ -511,7 +538,7 @@ def ternary_matmul_pallas_gathered_stacked(
     B, m = x.shape
     if m < D:
         x = jnp.pad(x, ((0, 0), (0, D - m)))
-    tb = min(max(16, -(-B // 16) * 16), 256)
+    tb = min(max(16, -(-B // 16) * 16), 64)  # see gathered (acc scratch)
     Bp = -(-B // tb) * tb
     tn, bps = _pick_tiles_gathered(n, nb, bs, tb, D, tile_n, blocks_per_step)
     bs4 = bs // 4
@@ -524,11 +551,12 @@ def ternary_matmul_pallas_gathered_stacked(
             jnp.bfloat16 if jax.default_backend() == "tpu" else x.dtype
         )
 
-    inner = _make_gather_kernel(bps, bs, a8)
+    nj, ni = nb // bps, n // tn
+    inner = _make_gather_kernel(bps, bs, nj, a8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Bp // tb, nb // bps, n // tn),
+        grid=(Bp // tb, nj, ni),
         in_specs=[
             pl.BlockSpec(
                 (tb, D), lambda b, j, i, li: (b, 0), memory_space=pltpu.VMEM
@@ -559,16 +587,17 @@ def ternary_matmul_pallas_gathered_stacked(
                 jnp.bfloat16
                 if jax.default_backend() == "tpu"
                 else jnp.float32,
-            )
+            ),
+            pltpu.VMEM((ni, tb, tn), jnp.float32),
         ],
     )
 
     def kernel_wrap(idx_ref, x_ref, gp_ref, packed_ref, alpha_ref, mu_ref,
-                    o_ref, xg_ref):
+                    o_ref, xg_ref, acc_ref):
         del idx_ref
         inner(
             x_ref, gp_ref.at[0], packed_ref.at[0], alpha_ref.at[0],
-            mu_ref.at[0], o_ref, xg_ref,
+            mu_ref.at[0], o_ref, xg_ref, acc_ref,
         )
 
     out = pl.pallas_call(

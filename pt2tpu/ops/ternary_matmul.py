@@ -250,11 +250,15 @@ def verify_fused_gather(verbose: bool = True) -> bool:
             ternary_matmul_pallas_gathered,
         )
 
+        # tile_n=128 / blocks_per_step=8 force a 4-output-tile x 2-k-step
+        # grid: the reduction must survive NON-consecutive output revisits
+        # (the on-chip failure mode hidden by single-tile shapes — a
+        # single-tile probe here passed while 7B qkv/gateup were broken).
         p = random_ternary_linear(
-            jax.random.PRNGKey(0), 512, 512, perm_mode="ssr"
+            jax.random.PRNGKey(0), 512, 2048, perm_mode="ssr"
         )
         x = jax.random.normal(
-            jax.random.PRNGKey(1), (4, 512), jnp.bfloat16
+            jax.random.PRNGKey(1), (4, 2048), jnp.bfloat16
         )
         xg = gather_apply(p.gather, x, impl="pallas")
         want = np.asarray(ternary_matmul_pallas(
@@ -262,7 +266,8 @@ def verify_fused_gather(verbose: bool = True) -> bool:
             block_size=128,
         ))
         got = np.asarray(ternary_matmul_pallas_gathered(
-            x, p.gather.packed, p.packed, p.alpha, p.mu, block_size=128
+            x, p.gather.packed, p.packed, p.alpha, p.mu, block_size=128,
+            tile_n=128, blocks_per_step=8,
         ))
         rel = float(
             np.linalg.norm(got - want)
@@ -364,9 +369,12 @@ def ternary_linear_apply_stacked(
         and bs % 128 == 0
         and n % 128 == 0
     )
-    if use_pallas and p.gather is not None and FUSED_GATHER:
+    if use_pallas and p.gather is not None and FUSED_GATHER and x2.shape[0] <= 64:
         # Fused SSR gather: the one-hot perm runs as a prologue inside the
         # matmul kernel (one call instead of two, no xg HBM round trip).
+        # Decode-size rows only: the fused kernel's per-output-tile f32
+        # accumulator scratch costs n*tb*4 bytes of VMEM, so prefill-size
+        # row counts take the two-step path (prefill is MXU-bound anyway).
         from .kernels.pallas_ternary import (
             ternary_matmul_pallas_gathered_stacked,
         )
@@ -421,7 +429,8 @@ def ternary_linear_apply(
         and bs % 128 == 0
         and p.out_features % 128 == 0
     )
-    if use_pallas and p.gather is not None and FUSED_GATHER:
+    if use_pallas and p.gather is not None and FUSED_GATHER and x2.shape[0] <= 64:
+        # Decode-size rows only — see ternary_linear_apply_stacked.
         from .kernels.pallas_ternary import ternary_matmul_pallas_gathered
 
         out = ternary_matmul_pallas_gathered(

@@ -90,21 +90,27 @@ def main():
         ternary_matmul_pallas_gathered,
     )
 
-    p7 = random_ternary_linear(
-        jax.random.PRNGKey(9), 4096, 4096, perm_mode="ssr"
-    )
-    x7 = jnp.asarray(rng.standard_normal((5, 4096)), jnp.bfloat16)
-    for a8f in (False, True):
-        xg7 = gather_apply(p7.gather, x7, impl="pallas")
-        want = ternary_matmul_pallas(
-            jnp.asarray(xg7, jnp.bfloat16), p7.packed, p7.alpha, p7.mu,
-            block_size=128, a8=a8f,
+    # n=4096 is a single output tile; n=12288 (qkv) forces n//tn > 1, the
+    # grid pattern whose o_ref revisits broke on hardware (2026-08) while
+    # every single-tile probe passed. Keep both.
+    for n_out in (4096, 12288):
+        p7 = random_ternary_linear(
+            jax.random.PRNGKey(9), n_out, 4096, perm_mode="ssr"
         )
-        got = ternary_matmul_pallas_gathered(
-            x7, p7.gather.packed, p7.packed, p7.alpha, p7.mu,
-            block_size=128, a8=a8f,
-        )
-        ok &= check(f"fused gather+matmul a8={a8f}", got, want, 1e-5)
+        x7 = jnp.asarray(rng.standard_normal((5, 4096)), jnp.bfloat16)
+        for a8f in (False, True):
+            xg7 = gather_apply(p7.gather, x7, impl="pallas")
+            want = ternary_matmul_pallas(
+                jnp.asarray(xg7, jnp.bfloat16), p7.packed, p7.alpha, p7.mu,
+                block_size=128, a8=a8f,
+            )
+            got = ternary_matmul_pallas_gathered(
+                x7, p7.gather.packed, p7.packed, p7.alpha, p7.mu,
+                block_size=128, a8=a8f,
+            )
+            ok &= check(
+                f"fused gather+matmul {4096}x{n_out} a8={a8f}", got, want, 1e-5
+            )
 
     # 3. stacked layer-indexed kernel vs per-layer apply (with SSR gathers)
     L = 3
