@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -226,9 +227,14 @@ def pack_layer(
     )
 
 
-FUSED_GATHER = True
+FUSED_GATHER = os.environ.get("PT2TPU_FUSED_GATHER", "0") == "1"
 """Use the fused SSR-gather + matmul kernel when a packed gather is
-attached (one pallas call instead of two). interpret-mode bit-exact;
+attached (one pallas call instead of two). Off by default: once its
+reduction was made hardware-correct (per-i-tile accumulator scratch — see
+pallas_ternary._make_gather_kernel), the fused path measured 120.7 tok/s
+batch-1 vs 149.1 for the two-step path on the 7B SSR layout (the scratch
+read-modify-write per k-step eats the saved gather-kernel launch + xg HBM
+round trip). Kept opt-in (PT2TPU_FUSED_GATHER=1) for future kernels;
 :func:`verify_fused_gather` probes the real backend once and flips this
 off on compile failure or mismatch (bench.py calls it before measuring)."""
 
