@@ -70,6 +70,7 @@ def main():
 
     from pt2tpu.models import decoder as dec
     from pt2tpu.models import get_config
+    from pt2tpu.ops import ternary_matmul as tm
     from pt2tpu.utils.randmodel import random_ternary_params
 
     cfg = get_config(args.model)
@@ -84,8 +85,14 @@ def main():
         "apply_rope": dec.apply_rope,
         "embed_tokens": dec.embed_tokens,
     }
+    orig_tm = {"gather_apply": tm.gather_apply}
+
+    def fake_gather(g, x, impl="auto", layer_idx=None):
+        return x  # SSR lanes un-permuted: wrong math, right shapes/bytes-of-x
 
     def restore():
+        for k, v in orig_tm.items():
+            setattr(tm, k, v)
         for k, v in orig.items():
             setattr(dec, k, v)
 
@@ -99,7 +106,12 @@ def main():
         return x
 
     def fake_unembed(cfg_, p, h):
-        return jnp.zeros(h.shape[:-1] + (cfg_.vocab_size,), h.dtype)
+        # Broadcast of one hidden lane, NOT zeros: logits must stay
+        # data-dependent on h or XLA constant-folds the entire decode loop
+        # (zeros measured 0.003 ms/tok — the whole program folded away).
+        return jnp.broadcast_to(
+            h[..., :1], h.shape[:-1] + (cfg_.vocab_size,)
+        ).astype(h.dtype)
 
     def fake_rope(x, cos, sin):
         return x
@@ -110,6 +122,7 @@ def main():
         "no_norms": {"_norm": fake_norm, "_head_norm": fake_head_norm},
         "no_unembed": {"unembed": fake_unembed},
         "no_rope": {"apply_rope": fake_rope},
+        "no_gather": {"__tm__": {"gather_apply": fake_gather}},
         "xla_impl": {"__impl__": "xla"},
         "a8": {"__impl__": "a8"},
         "kv_int8": {"__kv__": True},
@@ -123,6 +136,8 @@ def main():
         restore()
         impl = patch.pop("__impl__", "auto") if "__impl__" in patch else "auto"
         kvq = patch.pop("__kv__", False) if "__kv__" in patch else False
+        for k, v in patch.pop("__tm__", {}).items():
+            setattr(tm, k, v)
         for k, v in patch.items():
             setattr(dec, k, v)
         jax.clear_caches()

@@ -231,3 +231,40 @@ def test_gathered_kernel_a8_close(rng):
         jnp.linalg.norm(a8 - exact) / jnp.maximum(jnp.linalg.norm(exact), 1e-9)
     )
     assert rel < 0.02, rel
+
+
+def test_iota_gather_matches_index_form(rng):
+    """In-kernel iota-generated one-hot gather == index-form gather,
+    bit-exactly, incl. ragged pads (perm == m reads 0) and the stacked
+    layer-indexed variant. (The packed-plane kernel streams 0.25 B/entry of
+    one-hot matrix; this one generates it from the index vector — decode
+    budget measured gathers at 19% of a 7B token, see RESULTS.md.)"""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pt2tpu.ops.gather import apply_input_perm
+    from pt2tpu.ops.kernels.pallas_gather import (
+        onehot_iota_pallas,
+        onehot_iota_pallas_stacked,
+    )
+
+    # ragged: m=300 features padded to D=384 lanes, K=512 visit lanes with
+    # pads mapping to m (zero slots).
+    m, D, K = 300, 384, 512
+    perm = np.full(K, m, np.int32)
+    perm[:m] = rng.permutation(m)
+    x = jnp.asarray(rng.normal(size=(3, m)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = onehot_iota_pallas(x, jnp.asarray(perm), D=D)
+    want = apply_input_perm(x, jnp.asarray(perm), m)
+    assert (np.asarray(got) == np.asarray(want)).all()
+
+    L = 3
+    perms = np.stack([rng.permutation(D) for _ in range(L)]).astype(np.int32)
+    xd = jnp.asarray(rng.normal(size=(2, D)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        for li in range(L):
+            got_l = onehot_iota_pallas_stacked(
+                xd, jnp.asarray(perms), jnp.int32(li), D=D
+            )
+            want_l = apply_input_perm(xd, jnp.asarray(perms[li]), D)
+            assert (np.asarray(got_l) == np.asarray(want_l)).all(), li
