@@ -228,6 +228,8 @@ def main():
         from pt2tpu.ops import ternary_matmul as _tm
 
         _tm.verify_fused_gather()
+        _tm.verify_fused_mlp()
+        _tm.verify_igather_fused()
 
     tparams = random_ternary_params(
         cfg,

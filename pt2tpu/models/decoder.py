@@ -700,6 +700,18 @@ def layer_forward(
         x = x + mo
         return x, LayerIO(kv=new_kv, taps=taps if return_taps else None)
     if lp.get("gateup") is not None:
+        from ..ops.ternary_matmul import fused_mlp_apply, fused_mlp_ok
+
+        if not return_taps and fused_mlp_ok(lp["gateup"], lp["down"], impl, B * L):
+            # One pallas call for the whole MLP: SSR gather + gateup +
+            # act*mul + down (ops/kernels/pallas_ternary.ternary_mlp_pallas).
+            mo = fused_mlp_apply(
+                lp["gateup"], lp["down"], h, cfg.act, layer_idx
+            )
+            if cfg.sandwich_norm:
+                mo = _norm(cfg, mo, lp["post_mlp_w"], None)
+            x = x + mo
+            return x, LayerIO(kv=new_kv, taps=taps if return_taps else None)
         gu = apply_linear(lp["gateup"], h, impl, layer_idx)
         I = cfg.intermediate
         mid = _act(cfg, gu[..., :I]) * gu[..., I:]

@@ -27,6 +27,7 @@ Accumulation is f32 in the output tile; codes x alpha are exact in bf16
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,10 @@ __all__ = [
     "ternary_matmul_pallas_stacked",
     "ternary_matmul_pallas_gathered",
     "ternary_matmul_pallas_gathered_stacked",
+    "ternary_matmul_pallas_igathered",
+    "ternary_matmul_pallas_igathered_stacked",
+    "ternary_mlp_pallas",
+    "ternary_mlp_pallas_stacked",
     "normalize_rows_a8",
 ]
 
@@ -608,6 +613,692 @@ def ternary_matmul_pallas_gathered_stacked(
       alpha, mu)
     if a8:
         out = out * sx
+    return out[:B]
+
+
+# ---------------------------------------------------------------------------
+# Fused iota-gather + matmul (v2): the SSR input gather runs as a one-time
+# prologue into a block-indexed VMEM scratch, and the matmul grid keeps the
+# SAFE accumulation order (output tiles revisited on consecutive j steps
+# only). This differs from the retired ternary_matmul_pallas_gathered in
+# two ways that made that kernel lose on-chip (120.7 vs 149.1 tok/s):
+#   * no packed one-hot G stream from HBM — the one-hot is generated
+#     in-kernel from the (1, K) index row (pallas_gather iota rationale);
+#   * grid is (b, i, j) with j innermost, so o_ref accumulates across
+#     CONSECUTIVE revisits (no per-i-tile f32 accumulator scratch RMW).
+# The gathered lanes live in a (nj, tb, bps*bs) scratch written once at
+# step (i==0, j==0) with static block slices and read per step via a
+# dynamic leading index.
+# ---------------------------------------------------------------------------
+
+
+def _make_igather_kernel(bps: int, bs: int, nj: int, a8: bool):
+    def _kernel(x_ref, perm_ref, packed_ref, alpha_ref, mu_ref, o_ref,
+                xg_ref):
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+
+        @pl.when((i == 0) & (j == 0))
+        def _():
+            cdt = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                   else jnp.float32)
+            B, D = x_ref.shape
+            w = bps * bs
+            xs = x_ref[:].astype(cdt)
+            W = min(_gather_win(w), w)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (128, W), 0)
+            for jj in range(nj):  # static per-scratch-block gathers
+                accs = []
+                for jw in range(w // W):
+                    lane0 = jj * w + jw * W
+                    idx_w = perm_ref[:, lane0 : lane0 + W]  # (1, W)
+                    acc = jnp.zeros((B, W), jnp.float32)
+                    for p in range(D // 128):
+                        u = (rows == idx_w - p * 128).astype(cdt)
+                        acc += jnp.dot(
+                            xs[:, p * 128 : (p + 1) * 128], u,
+                            preferred_element_type=jnp.float32,
+                        )
+                    accs.append(acc)
+                xg_ref[jj] = jnp.concatenate(accs, axis=1).astype(
+                    xg_ref.dtype
+                ) if len(accs) > 1 else accs[0].astype(xg_ref.dtype)
+
+        @pl.when(j == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        o_ref[:] += _accumulate_step(
+            xg_ref[j], packed_ref, alpha_ref, mu_ref, bps, bs, a8, None,
+        )
+
+    return _kernel
+
+
+def _igather_vmem_estimate(tn, bps, bs, Bp, D, K):
+    base = _vmem_estimate(tn, bps, bs, Bp)
+    xfull = Bp * D * 2
+    xg = Bp * K * 2
+    iota_temps = 2 * 128 * K * 4 + Bp * K * 4  # rows/compare plane + acc
+    return base + xfull + xg + iota_temps
+
+
+def _pick_tiles_igather(n, nb, bs, Bp, D, want_tn, want_bps):
+    budget = 12 * 1024 * 1024
+    tn = _pick_tile_n(n, min(want_tn, n))
+    tn_divisors = sorted(
+        (d for d in range(128, n + 1, 128) if n % d == 0), reverse=True
+    )
+    bps_all = sorted(
+        {b for b in range(8, nb + 1, 8) if nb % b == 0} | {nb}, reverse=True
+    )
+    bps = max((b for b in bps_all if b <= max(want_bps, 8)), default=nb)
+    K = nb * bs
+    while _igather_vmem_estimate(tn, bps, bs, Bp, D, K) > budget:
+        smaller_bps = [b for b in bps_all if b < bps]
+        if smaller_bps:
+            bps = smaller_bps[0]
+            continue
+        smaller_tn = [d for d in tn_divisors if d < tn]
+        if smaller_tn:
+            tn = smaller_tn[0]
+            continue
+        break
+    return tn, bps
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "tile_n", "blocks_per_step", "a8")
+)
+def ternary_matmul_pallas_igathered(
+    x: jax.Array,  # (B, m) UN-gathered activations
+    perm: jax.Array,  # (K,) int32 visit lane -> original feature
+    packed: jax.Array,  # (K//4, n)
+    alpha: jax.Array,
+    mu: jax.Array,
+    *,
+    block_size: int = 128,
+    tile_n: int = 4096,
+    blocks_per_step: int = 16,
+    a8: bool = False,
+) -> jax.Array:
+    """out = gather(x)[perm] @ dequant(packed) in one pallas call."""
+    K4, n = packed.shape
+    K = K4 * 4
+    nb = alpha.shape[0]
+    bs = block_size
+    if bs % 128 != 0 or nb * bs != K or n % 128 != 0:
+        raise ValueError(f"bad shapes: packed {packed.shape}, bs {bs}")
+    B, m = x.shape
+    D = -(-m // 128) * 128
+    if D != m:
+        x = jnp.pad(x, ((0, 0), (0, D - m)))
+    tb = min(max(16, -(-B // 16) * 16), 64)  # decode rows only
+    Bp = -(-B // tb) * tb
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+    if a8:
+        x, sx = normalize_rows_a8(x)  # absmax is permutation-invariant
+    else:
+        x = x.astype(
+            jnp.bfloat16 if jax.default_backend() == "tpu" else x.dtype
+        )
+    tn, bps = _pick_tiles_igather(n, nb, bs, tb, D, tile_n, blocks_per_step)
+    nj = nb // bps
+
+    out = pl.pallas_call(
+        _make_igather_kernel(bps, bs, nj, a8),
+        grid=(Bp // tb, n // tn, nj),
+        in_specs=[
+            pl.BlockSpec((tb, D), lambda b, i, j: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bps * (bs // 4), tn), lambda b, i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bps, tn), lambda b, i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bps, tn), lambda b, i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, tn), lambda b, i, j: (b, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (nj, tb, bps * bs),
+                jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32,
+            ),
+        ],
+    )(x, perm.reshape(1, K).astype(jnp.int32), packed, alpha, mu)
+    if a8:
+        out = out * sx
+    return out[:B]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "tile_n", "blocks_per_step", "a8")
+)
+def ternary_matmul_pallas_igathered_stacked(
+    x: jax.Array,  # (B, m)
+    perm: jax.Array,  # (L, K)
+    packed: jax.Array,  # (L, K//4, n)
+    alpha: jax.Array,  # (L, nb, n)
+    mu: jax.Array,
+    layer_idx: jax.Array,
+    *,
+    block_size: int = 128,
+    tile_n: int = 4096,
+    blocks_per_step: int = 16,
+    a8: bool = False,
+) -> jax.Array:
+    """Scan-over-layers fused iota-gather + matmul (scalar prefetch)."""
+    L, K4, n = packed.shape
+    K = K4 * 4
+    nb = alpha.shape[1]
+    bs = block_size
+    if bs % 128 != 0 or nb * bs != K or n % 128 != 0:
+        raise ValueError(f"bad shapes: packed {packed.shape}, bs {bs}")
+    B, m = x.shape
+    D = -(-m // 128) * 128
+    if D != m:
+        x = jnp.pad(x, ((0, 0), (0, D - m)))
+    tb = min(max(16, -(-B // 16) * 16), 64)
+    Bp = -(-B // tb) * tb
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+    if a8:
+        x, sx = normalize_rows_a8(x)
+    else:
+        x = x.astype(
+            jnp.bfloat16 if jax.default_backend() == "tpu" else x.dtype
+        )
+    tn, bps = _pick_tiles_igather(n, nb, bs, tb, D, tile_n, blocks_per_step)
+    nj = nb // bps
+
+    inner = _make_igather_kernel(bps, bs, nj, a8)
+
+    def kernel_wrap(idx_ref, x_ref, perm_ref, packed_ref, alpha_ref,
+                    mu_ref, o_ref, xg_ref):
+        del idx_ref
+        inner(x_ref, perm_ref.at[0], packed_ref.at[0], alpha_ref.at[0],
+              mu_ref.at[0], o_ref, xg_ref)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bp // tb, n // tn, nj),
+        in_specs=[
+            pl.BlockSpec((tb, D), lambda b, i, j, li: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda b, i, j, li: (li[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bps * (bs // 4), tn),
+                         lambda b, i, j, li: (li[0], j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bps, tn), lambda b, i, j, li: (li[0], j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bps, tn), lambda b, i, j, li: (li[0], j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, tn), lambda b, i, j, li: (b, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (nj, tb, bps * bs),
+                jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32,
+            ),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel_wrap,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.float32),
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x,
+      perm.reshape(L, 1, K).astype(jnp.int32), packed, alpha, mu)
+    if a8:
+        out = out * sx
+    return out[:B]
+
+
+# ---------------------------------------------------------------------------
+# Fused MLP megakernel: gather -> gateup -> act*mul -> down in ONE pallas call.
+# ---------------------------------------------------------------------------
+#
+# Decode at 7B runs 6 pallas calls per layer (iota gather + matmul for each
+# of qkv/o/gateup, plus down); the chained per-call rate (320-414 GB/s,
+# RESULTS.md round 1) sits well below the single-call steady state
+# (523 GB/s) — inter-call pipeline drains, output round trips, and fixed
+# call overhead eat the difference. The MLP half fuses completely because
+# down's input is ELEMENTWISE in the feature dim: one k-block of down's
+# visit-ordered input ``mid`` needs only the matching 128-column block of
+# (folded) gate/up outputs. So one kernel sweeps down's valid k-blocks:
+#
+#   per grid step k:   gate_k = xg @ dequant(GU[:, gate cols of block k])
+#                      up_k   = xg @ dequant(GU[:, up cols of block k])
+#                      mid_k  = act(gate_k) * up_k          (f32, in VMEM)
+#                      o     += mid_k @ dequant(DN[block k])
+#
+# with xg (the SSR-gathered activations) computed once on k == 0 by the
+# iota one-hot prologue (pallas_gather.py rationale) into a VMEM scratch.
+# The (B, 2I) gateup output and (B, I) mid NEVER touch HBM, and the output
+# tile is revisited on CONSECUTIVE grid steps only — the safe accumulation
+# pattern (unlike the retired gathered-kernel's i-innermost scratch RMW,
+# see _make_gather_kernel's docstring).
+#
+# Exactness: gate/up/mid stay f32 in VMEM (the two-call path rounds mid
+# through bf16 in HBM), codes x alpha are exact in bf16, so the fused path
+# is s trictly more precise than the sequence it replaces. Down's pad
+# blocks (alpha = mu = 0) are simply never visited: their contribution is
+# zero by construction, and skipping them skips their DMA too.
+
+
+def _act_fn(act: str):
+    if act == "silu":
+        return jax.nn.silu
+    if act == "gelu":
+        return jax.nn.gelu
+    if act == "relu":
+        return lambda v: jnp.maximum(v, 0.0)
+    raise ValueError(f"unsupported fused-MLP activation {act!r}")
+
+
+def _gather_win(Kg: int) -> int:
+    """Output-lane window for the iota prologue: bounds the (128, W)
+    compare-plane temporaries (a full-Kg plane stack blew the 16 MB scoped
+    VMEM at K=12288 — Mosaic does not fully reuse unrolled-loop buffers)."""
+    for w in (1024, 512, 256, 128):
+        if Kg % w == 0:
+            return w
+    return Kg
+
+
+def _gather_iota_prologue(x_ref, perm_ref, xg_ref):
+    """xg[b, l] = x[b, perm[l]] with the one-hot generated in-kernel from
+    the (1, Kg) index row (pallas_gather._make_iota_kernel). Pad lanes
+    (perm == m, out of [p*128, p*128+128)) match no row -> exact zero.
+    Windowed over output lanes to bound compare-plane temporaries."""
+    cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    B, D = x_ref.shape
+    Kg = xg_ref.shape[-1]
+    xs = x_ref[:].astype(cdt)
+    W = _gather_win(Kg)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (128, W), 0)
+    for jw in range(Kg // W):
+        idx_w = perm_ref[:, jw * W : (jw + 1) * W]  # (1, W)
+        acc = jnp.zeros((B, W), jnp.float32)
+        for p in range(D // 128):
+            u = (rows == idx_w - p * 128).astype(cdt)
+            acc += jnp.dot(
+                xs[:, p * 128 : (p + 1) * 128], u,
+                preferred_element_type=jnp.float32,
+            )
+        xg_ref[:, jw * W : (jw + 1) * W] = acc.astype(xg_ref.dtype)
+
+
+def _make_mlp_kernel(nbg: int, bs: int, bps_d: int, act: str,
+                     has_gather: bool, gated: bool):
+    act_fn = _act_fn(act)
+    cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    def _kernel(*refs):
+        it = iter(refs)
+        x_ref = next(it)
+        perm_ref = next(it) if has_gather else None
+        gug_ref = next(it)
+        guu_ref = next(it) if gated else None
+        gag_ref, gmg_ref = next(it), next(it)
+        gau_ref, gmu_ref = (next(it), next(it)) if gated else (None, None)
+        dnp_ref, dna_ref, dnm_ref = next(it), next(it), next(it)
+        o_ref = next(it)
+        xg_ref = next(it)
+
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            if has_gather:
+                _gather_iota_prologue(x_ref, perm_ref, xg_ref)
+            else:
+                xg_ref[:] = x_ref[:].astype(xg_ref.dtype)
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        xg = xg_ref[:]
+        gate = _accumulate_step(xg, gug_ref, gag_ref, gmg_ref,
+                                nbg, bs, False, None)
+        if gated:
+            up = _accumulate_step(xg, guu_ref, gau_ref, gmu_ref,
+                                  nbg, bs, False, None)
+            mid = act_fn(gate) * up
+        else:
+            mid = act_fn(gate)
+        if bps_d % 8 == 0:
+            dna, dnm = dna_ref, dnm_ref
+        else:
+            # dn scales arrive as (8, n) superblocks (Mosaic needs sublane
+            # block dims divisible by 8); extract this step's bps_d rows
+            # with an exact one-hot dot. bps_d divides 8, so the window
+            # [lo, lo + bps_d) never crosses the superblock boundary.
+            lo = (k * bps_d) % 8
+            rsel = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+            csel = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+            E = (csel == rsel + lo).astype(cdt)
+            dna = jnp.dot(E, dna_ref[:].astype(cdt),
+                          preferred_element_type=jnp.float32)
+            dnm = jnp.dot(E, dnm_ref[:].astype(cdt),
+                          preferred_element_type=jnp.float32)
+            dna = dna[:bps_d].astype(dna_ref.dtype)  # one-hot pick: exact
+            dnm = dnm[:bps_d].astype(dnm_ref.dtype)
+        o_ref[:] += _accumulate_step(mid.astype(cdt), dnp_ref, dna,
+                                     dnm, bps_d, bs, False, None)
+
+    return _kernel
+
+
+def _mlp_vmem_estimate(tb, D, Kg, nbg, bs, bps_d, n):
+    bs4 = bs // 4
+    tn_g = bps_d * bs
+    x = tb * D * 2
+    xg = tb * Kg * 2
+    gu = (2 * 2 * (Kg // 4) * tn_g) + (4 * 2 * 2 * nbg * tn_g * 2)
+    dn = 2 * bps_d * bs4 * n + 2 * 2 * bps_d * n * 2
+    out = tb * n * 4
+    # unpack temps are dominated by down's (4 int32 plane tiles + bf16
+    # code tile) plus the gather prologue's compare plane
+    temps = 4 * bs4 * n * 4 + bs * n * 2 + 128 * Kg * 2 + 3 * tb * n * 4
+    return x + xg + gu + dn + out + temps
+
+
+def _pick_bps_mlp(nv, tb, D, Kg, nbg, bs, n, want=8):
+    budget = 12 * 1024 * 1024
+    # Mosaic sublane rule: the dn-scale window must either BE the (8, n)
+    # superblock stride (bps_d % 8 == 0) or sit inside one (8 % bps_d == 0).
+    cands = sorted((b for b in range(1, nv + 1)
+                    if nv % b == 0 and (b % 8 == 0 or 8 % b == 0)),
+                   reverse=True)
+    ok = [b for b in cands
+          if b <= want and _mlp_vmem_estimate(tb, D, Kg, nbg, bs, b, n) <= budget]
+    if ok:
+        return ok[0]
+    fit = [b for b in cands
+           if _mlp_vmem_estimate(tb, D, Kg, nbg, bs, b, n) <= budget]
+    return fit[0] if fit else 1
+
+
+def _mlp_common(x, gu_packed, gu_alpha, dn_packed, dn_alpha,
+                block_size, intermediate):
+    """Shared shape validation; returns (gated, Kg, n, nbg, nv)."""
+    Kg4, gu_n = gu_packed.shape[-2], gu_packed.shape[-1]
+    Kg = Kg4 * 4
+    nbg = gu_alpha.shape[-2]
+    Kd4, n = dn_packed.shape[-2], dn_packed.shape[-1]
+    nbd = dn_alpha.shape[-2]
+    bs = block_size
+    I = intermediate
+    if gu_n == 2 * I:
+        gated = True
+    elif gu_n == I:
+        gated = False
+    else:
+        raise ValueError(f"gateup width {gu_n} vs intermediate {I}")
+    if bs % 128 != 0 or nbg * bs != Kg or nbd * bs != Kd4 * 4:
+        raise ValueError(
+            f"bad shapes: gu {gu_packed.shape}, dn {dn_packed.shape}, bs {bs}"
+        )
+    if I % bs != 0:
+        raise ValueError(f"intermediate {I} not a multiple of block {bs}")
+    nv = I // bs  # valid down k-blocks; pads (alpha=mu=0) are never visited
+    if nv > nbd:
+        raise ValueError(f"intermediate blocks {nv} exceed down blocks {nbd}")
+    if -(-nv // 8) * 8 > nbd:
+        # the (8, n) scale superblock of the last visited step must exist
+        raise ValueError(
+            f"down scale rows {nbd} < {-(-nv // 8) * 8} (superblock bound)"
+        )
+    if n % 128 != 0:
+        raise ValueError(f"out_features {n} must be a multiple of 128")
+    return gated, Kg, n, nbg, nv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "act", "intermediate", "blocks_per_step"),
+)
+def ternary_mlp_pallas(
+    x: jax.Array,  # (B, m) UN-gathered post-norm hidden
+    gu_perm: Optional[jax.Array],  # (Kg,) int32 visit perm, or None
+    gu_packed: jax.Array,  # (Kg//4, 2I) [gate@sigma | up@sigma] (fold.py)
+    gu_alpha: jax.Array,  # (nbg, 2I)
+    gu_mu: jax.Array,
+    dn_packed: jax.Array,  # (Kd//4, n), Kd >= I (pad blocks zero-scaled)
+    dn_alpha: jax.Array,  # (nbd, n)
+    dn_mu: jax.Array,
+    *,
+    block_size: int = 128,
+    act: str = "silu",
+    intermediate: int,
+    blocks_per_step: int = 0,  # 0 = auto
+) -> jax.Array:
+    """Whole ternary MLP in one pallas call: returns (B, n) f32."""
+    gated, Kg, n, nbg, nv = _mlp_common(
+        x, gu_packed, gu_alpha, dn_packed, dn_alpha, block_size, intermediate
+    )
+    bs = block_size
+    bs4 = bs // 4
+    I = intermediate
+    B, m = x.shape
+    has_gather = gu_perm is not None
+    # With a gather, D only needs 128-alignment (pad perm lanes match
+    # nothing); the identity path pads x straight to the Kg lane count
+    # (identity perms put every pad lane at the zero slot).
+    D = -(-m // 128) * 128 if has_gather else Kg
+    if D < m:
+        raise ValueError(f"x width {m} exceeds lane count {Kg}")
+    if D != m:
+        x = jnp.pad(x, ((0, 0), (0, D - m)))
+    tb = min(max(16, -(-B // 16) * 16), 64)
+    Bp = -(-B // tb) * tb
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+    x = x.astype(jnp.bfloat16 if jax.default_backend() == "tpu" else x.dtype)
+    bps_d = blocks_per_step or _pick_bps_mlp(nv, tb, D, Kg, nbg, bs, n)
+    if nv % bps_d != 0:
+        raise ValueError(f"blocks_per_step {bps_d} must divide {nv}")
+    tn_g = bps_d * bs
+    up_off = I // tn_g  # up half starts this many tn_g-blocks in
+
+    specs = [pl.BlockSpec((tb, D), lambda b, k: (b, 0),
+                          memory_space=pltpu.VMEM)]
+    args = [x]
+    if has_gather:
+        specs.append(pl.BlockSpec((1, Kg), lambda b, k: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        args.append(gu_perm.reshape(1, Kg).astype(jnp.int32))
+    # gate (and up) column blocks of the SAME packed/scale arrays, selected
+    # by two index maps — no host-side split copies.
+    specs.append(pl.BlockSpec((Kg // 4, tn_g), lambda b, k: (0, k),
+                              memory_space=pltpu.VMEM))
+    args.append(gu_packed)
+    if gated:
+        specs.append(pl.BlockSpec(
+            (Kg // 4, tn_g), lambda b, k: (0, k + up_off),
+            memory_space=pltpu.VMEM))
+        args.append(gu_packed)
+    specs.append(pl.BlockSpec((nbg, tn_g), lambda b, k: (0, k),
+                              memory_space=pltpu.VMEM))
+    args.append(gu_alpha)
+    specs.append(pl.BlockSpec((nbg, tn_g), lambda b, k: (0, k),
+                              memory_space=pltpu.VMEM))
+    args.append(gu_mu)
+    if gated:
+        specs.append(pl.BlockSpec(
+            (nbg, tn_g), lambda b, k: (0, k + up_off),
+            memory_space=pltpu.VMEM))
+        args.append(gu_alpha)
+        specs.append(pl.BlockSpec(
+            (nbg, tn_g), lambda b, k: (0, k + up_off),
+            memory_space=pltpu.VMEM))
+        args.append(gu_mu)
+    specs.append(pl.BlockSpec((bps_d * bs4, n), lambda b, k: (k, 0),
+                              memory_space=pltpu.VMEM))
+    args.append(dn_packed)
+    # (sb, n) superblocks: when bps_d < 8 the kernel one-hot-extracts rows
+    # [k*bps_d % 8, +bps_d) (Mosaic sublane block-dim rule).
+    sb = max(8, bps_d)
+    specs.append(pl.BlockSpec((sb, n), lambda b, k: ((k * bps_d) // sb, 0),
+                              memory_space=pltpu.VMEM))
+    args.append(dn_alpha)
+    specs.append(pl.BlockSpec((sb, n), lambda b, k: ((k * bps_d) // sb, 0),
+                              memory_space=pltpu.VMEM))
+    args.append(dn_mu)
+
+    out = pl.pallas_call(
+        _make_mlp_kernel(nbg, bs, bps_d, act, has_gather, gated),
+        grid=(Bp // tb, nv // bps_d),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((tb, n), lambda b, k: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (tb, Kg),
+                jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32,
+            ),
+        ],
+    )(*args)
+    return out[:B]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "act", "intermediate", "blocks_per_step"),
+)
+def ternary_mlp_pallas_stacked(
+    x: jax.Array,  # (B, m)
+    gu_perm: Optional[jax.Array],  # (L, Kg) or None
+    gu_packed: jax.Array,  # (L, Kg//4, 2I)
+    gu_alpha: jax.Array,  # (L, nbg, 2I)
+    gu_mu: jax.Array,
+    dn_packed: jax.Array,  # (L, Kd//4, n)
+    dn_alpha: jax.Array,  # (L, nbd, n)
+    dn_mu: jax.Array,
+    layer_idx: jax.Array,
+    *,
+    block_size: int = 128,
+    act: str = "silu",
+    intermediate: int,
+    blocks_per_step: int = 0,
+) -> jax.Array:
+    """Scan-over-layers fused MLP: scalar-prefetched layer index, whole
+    stacked arrays (ternary_matmul_pallas_stacked rationale)."""
+    gated, Kg, n, nbg, nv = _mlp_common(
+        x, gu_packed, gu_alpha, dn_packed, dn_alpha, block_size, intermediate
+    )
+    bs = block_size
+    bs4 = bs // 4
+    I = intermediate
+    B, m = x.shape
+    has_gather = gu_perm is not None
+    # With a gather, D only needs 128-alignment (pad perm lanes match
+    # nothing); the identity path pads x straight to the Kg lane count
+    # (identity perms put every pad lane at the zero slot).
+    D = -(-m // 128) * 128 if has_gather else Kg
+    if D < m:
+        raise ValueError(f"x width {m} exceeds lane count {Kg}")
+    if D != m:
+        x = jnp.pad(x, ((0, 0), (0, D - m)))
+    tb = min(max(16, -(-B // 16) * 16), 64)
+    Bp = -(-B // tb) * tb
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+    x = x.astype(jnp.bfloat16 if jax.default_backend() == "tpu" else x.dtype)
+    bps_d = blocks_per_step or _pick_bps_mlp(nv, tb, D, Kg, nbg, bs, n)
+    if nv % bps_d != 0:
+        raise ValueError(f"blocks_per_step {bps_d} must divide {nv}")
+    tn_g = bps_d * bs
+    up_off = I // tn_g
+
+    specs = [pl.BlockSpec((tb, D), lambda b, k, li: (b, 0),
+                          memory_space=pltpu.VMEM)]
+    args = [x]
+    if has_gather:
+        L = gu_perm.shape[0]
+        specs.append(pl.BlockSpec(
+            (1, 1, Kg), lambda b, k, li: (li[0], 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(gu_perm.reshape(L, 1, Kg).astype(jnp.int32))
+    specs.append(pl.BlockSpec(
+        (1, Kg // 4, tn_g), lambda b, k, li: (li[0], 0, k),
+        memory_space=pltpu.VMEM))
+    args.append(gu_packed)
+    if gated:
+        specs.append(pl.BlockSpec(
+            (1, Kg // 4, tn_g), lambda b, k, li: (li[0], 0, k + up_off),
+            memory_space=pltpu.VMEM))
+        args.append(gu_packed)
+    specs.append(pl.BlockSpec(
+        (1, nbg, tn_g), lambda b, k, li: (li[0], 0, k),
+        memory_space=pltpu.VMEM))
+    args.append(gu_alpha)
+    specs.append(pl.BlockSpec(
+        (1, nbg, tn_g), lambda b, k, li: (li[0], 0, k),
+        memory_space=pltpu.VMEM))
+    args.append(gu_mu)
+    if gated:
+        specs.append(pl.BlockSpec(
+            (1, nbg, tn_g), lambda b, k, li: (li[0], 0, k + up_off),
+            memory_space=pltpu.VMEM))
+        args.append(gu_alpha)
+        specs.append(pl.BlockSpec(
+            (1, nbg, tn_g), lambda b, k, li: (li[0], 0, k + up_off),
+            memory_space=pltpu.VMEM))
+        args.append(gu_mu)
+    specs.append(pl.BlockSpec(
+        (1, bps_d * bs4, n), lambda b, k, li: (li[0], k, 0),
+        memory_space=pltpu.VMEM))
+    args.append(dn_packed)
+    sb = max(8, bps_d)
+    specs.append(pl.BlockSpec(
+        (1, sb, n), lambda b, k, li: (li[0], (k * bps_d) // sb, 0),
+        memory_space=pltpu.VMEM))
+    args.append(dn_alpha)
+    specs.append(pl.BlockSpec(
+        (1, sb, n), lambda b, k, li: (li[0], (k * bps_d) // sb, 0),
+        memory_space=pltpu.VMEM))
+    args.append(dn_mu)
+
+    inner = _make_mlp_kernel(nbg, bs, bps_d, act, has_gather, gated)
+    n_in = len(args)
+
+    def kernel_wrap(idx_ref, *refs):
+        del idx_ref
+        ins, outs = refs[:n_in], refs[n_in:]
+        # every operand after x carries a leading size-1 layer dim (the
+        # perm row becomes (1, Kg) again); view it away for the inner kernel.
+        ins = (ins[0],) + tuple(r.at[0] for r in ins[1:])
+        inner(*ins, *outs)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bp // tb, nv // bps_d),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((tb, n), lambda b, k, li: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (tb, Kg),
+                jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32,
+            ),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel_wrap,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.float32),
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), *args)
     return out[:B]
 
 

@@ -292,6 +292,197 @@ def verify_fused_gather(verbose: bool = True) -> bool:
     return FUSED_GATHER
 
 
+IGATHER_FUSED = os.environ.get("PT2TPU_IGATHER_FUSED", "1") == "1"
+"""Fuse the SSR input gather into the projection matmul as an in-kernel
+iota one-hot prologue (`ternary_matmul_pallas_igathered*`) on decode-size
+row counts — one pallas call instead of two and no gathered-x HBM round
+trip. Unlike the retired packed-G fused kernel (FUSED_GATHER, default off)
+this keeps the safe consecutive-revisit accumulation order and streams no
+one-hot planes. `verify_igather_fused` probes the real backend once and
+flips this off on compile failure or mismatch."""
+
+
+def verify_igather_fused(verbose: bool = True) -> bool:
+    """On-accelerator self-check of the fused iota-gather matmul vs the
+    two-step path; disables IGATHER_FUSED on failure. Returns the flag."""
+    global IGATHER_FUSED
+    import sys
+
+    if jax.default_backend() == "cpu" or not IGATHER_FUSED:
+        return IGATHER_FUSED
+    try:
+        from ..utils.randmodel import random_ternary_linear
+        from .kernels.pallas_ternary import (
+            ternary_matmul_pallas,
+            ternary_matmul_pallas_igathered,
+        )
+
+        # Force a multi-output-tile, multi-j grid (tile_n=128, bps=8):
+        # accumulation must survive the revisit pattern.
+        p = random_ternary_linear(
+            jax.random.PRNGKey(0), 2048, 512, perm_mode="ssr"
+        )
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 512), jnp.bfloat16)
+        xg = gather_apply(p.gather, x, impl="pallas")
+        for a8 in (False, True):
+            want = np.asarray(ternary_matmul_pallas(
+                jnp.asarray(xg, jnp.bfloat16), p.packed, p.alpha, p.mu,
+                block_size=128, a8=a8,
+            ))
+            got = np.asarray(ternary_matmul_pallas_igathered(
+                x, p.perm, p.packed, p.alpha, p.mu, block_size=128,
+                tile_n=128, blocks_per_step=8, a8=a8,
+            ))
+            rel = float(
+                np.linalg.norm(got - want)
+                / max(float(np.linalg.norm(want)), 1e-9)
+            )
+            if rel > 1e-4:
+                raise AssertionError(
+                    f"igather fused mismatch (a8={a8}): rel {rel:.2e}"
+                )
+    except Exception as e:  # compile failure or mismatch: fall back
+        IGATHER_FUSED = False
+        if verbose:
+            print(
+                f"fused iota-gather matmul disabled ({type(e).__name__}: "
+                f"{e}); falling back to the two-step path",
+                file=sys.stderr,
+            )
+    return IGATHER_FUSED
+
+
+FUSED_MLP = os.environ.get("PT2TPU_FUSED_MLP", "1") == "1"
+"""Run the whole MLP (SSR gather -> gateup -> act*mul -> down) as ONE pallas
+call (`ops.kernels.pallas_ternary.ternary_mlp_pallas*`) on decode-size row
+counts. The (B, 2I) gateup output and (B, I) mid never touch HBM and two of
+the per-layer kernel launches disappear. `verify_fused_mlp` probes the real
+backend once and flips this off on compile failure or mismatch."""
+
+
+def fused_mlp_ok(gu, dn, impl: str, rows: int) -> bool:
+    """Static routing predicate for the fused MLP kernel (decoder MLP
+    section). All conditions are trace-time static."""
+    if not FUSED_MLP or impl not in ("auto",):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if not isinstance(gu, PackedTernaryLinear) or not isinstance(
+        dn, PackedTernaryLinear
+    ):
+        return False
+    if rows > 64:  # prefill rows: MXU-bound, keep the wide two-call path
+        return False
+    if gu.bias is not None or dn.bias is not None:
+        return False
+    if not dn.input_folded:
+        return False
+    if not (gu.gather is not None or gu.identity_perm or gu.input_folded):
+        return False
+    I = dn.in_features
+    bs = 128
+    if I % bs != 0 or dn.out_features % 128 != 0:
+        return False
+    if gu.out_features not in (2 * I, I):
+        return False
+    if gu.block_size != bs or dn.block_size != bs:
+        return False
+    if gu.identity_perm or gu.input_folded:
+        # identity path requires x's padded width == gather lane count
+        K = gu.packed.shape[-2] * 4
+        if -(-gu.in_features // 128) * 128 != K:
+            return False
+    return True
+
+
+def fused_mlp_apply(
+    gu: PackedTernaryLinear,
+    dn: PackedTernaryLinear,
+    x: jax.Array,
+    act: str,
+    layer_idx=None,
+    out_dtype=None,
+) -> jax.Array:
+    """One-call MLP: (..., m) -> (..., n). Caller must have checked
+    :func:`fused_mlp_ok`."""
+    from .kernels.pallas_ternary import (
+        ternary_mlp_pallas,
+        ternary_mlp_pallas_stacked,
+    )
+
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    I = dn.in_features
+    has_gather = not (gu.identity_perm or gu.input_folded)
+    if layer_idx is not None and gu.packed.ndim == 3:
+        perm = gu.perm if has_gather else None
+        out = ternary_mlp_pallas_stacked(
+            x2, perm, gu.packed, gu.alpha, gu.mu,
+            dn.packed, dn.alpha, dn.mu, layer_idx,
+            act=act, intermediate=I,
+        )
+    else:
+        perm = gu.perm if has_gather else None
+        out = ternary_mlp_pallas(
+            x2, perm, gu.packed, gu.alpha, gu.mu,
+            dn.packed, dn.alpha, dn.mu,
+            act=act, intermediate=I,
+        )
+    return out.astype(out_dtype).reshape(*lead, dn.out_features)
+
+
+def verify_fused_mlp(verbose: bool = True) -> bool:
+    """On-accelerator self-check of the fused MLP kernel vs the two-call
+    path; disables FUSED_MLP on failure. Returns the flag."""
+    global FUSED_MLP
+    import sys
+
+    if jax.default_backend() == "cpu" or not FUSED_MLP:
+        return FUSED_MLP
+    try:
+        from ..quant import fold as foldmod
+        from ..utils.randmodel import random_ternary_linear
+
+        class _Cfg:
+            gated_mlp = True
+
+        D, I, n = 512, 1408, 512  # I -> 11 valid blocks inside 16 padded
+        lp = foldmod.fold_layer_perms(_Cfg(), {
+            "gateup": random_ternary_linear(
+                jax.random.PRNGKey(0), 2 * I, D, perm_mode="ssr"
+            ),
+            "down": random_ternary_linear(
+                jax.random.PRNGKey(1), n, I, perm_mode="ssr"
+            ),
+        })
+        gu, dn = lp["gateup"], lp["down"]
+        if not fused_mlp_ok(gu, dn, "auto", 4):
+            raise AssertionError("fused_mlp_ok rejected the probe layer")
+        x = jax.random.normal(jax.random.PRNGKey(2), (4, D), jnp.bfloat16)
+        guo = ternary_linear_apply(gu, x, out_dtype=jnp.float32)
+        mid = (jax.nn.silu(guo[..., :I]) * guo[..., I:]).astype(jnp.bfloat16)
+        want = np.asarray(ternary_linear_apply(dn, mid, out_dtype=jnp.float32))
+        got = np.asarray(
+            fused_mlp_apply(gu, dn, x, "silu", out_dtype=jnp.float32)
+        )
+        rel = float(
+            np.linalg.norm(got - want)
+            / max(float(np.linalg.norm(want)), 1e-9)
+        )
+        if rel > 5e-3:  # two-call rounds mid through bf16; fused keeps f32
+            raise AssertionError(f"fused MLP mismatch: rel {rel:.2e}")
+    except Exception as e:  # compile failure or mismatch: fall back
+        FUSED_MLP = False
+        if verbose:
+            print(
+                f"fused MLP disabled ({type(e).__name__}: {e}); "
+                "falling back to the two-call path",
+                file=sys.stderr,
+            )
+    return FUSED_MLP
+
+
 def _input_lanes(
     p: PackedTernaryLinear,
     x2: jax.Array,  # (B, m)
@@ -375,23 +566,37 @@ def ternary_linear_apply_stacked(
         and bs % 128 == 0
         and n % 128 == 0
     )
-    if use_pallas and p.gather is not None and FUSED_GATHER and x2.shape[0] <= 64:
-        # Fused SSR gather: the one-hot perm runs as a prologue inside the
-        # matmul kernel (one call instead of two, no xg HBM round trip).
-        # Decode-size rows only: the fused kernel's per-output-tile f32
-        # accumulator scratch costs n*tb*4 bytes of VMEM, so prefill-size
-        # row counts take the two-step path (prefill is MXU-bound anyway).
-        from .kernels.pallas_ternary import (
-            ternary_matmul_pallas_gathered_stacked,
-        )
+    if (use_pallas and p.gather is not None and x2.shape[0] <= 64
+            and not (p.identity_perm or p.input_folded)):
+        # Fused SSR gather: one pallas call instead of two, no gathered-x
+        # HBM round trip. Decode-size rows only (prefill is MXU-bound and
+        # takes the wide two-step path). Preferred kernel: the iota
+        # prologue + safe-grid variant; the retired packed-G variant stays
+        # reachable via PT2TPU_FUSED_GATHER=1 for comparison runs.
+        if IGATHER_FUSED:
+            from .kernels.pallas_ternary import (
+                ternary_matmul_pallas_igathered_stacked,
+            )
 
-        out = ternary_matmul_pallas_gathered_stacked(
-            x2, p.gather.packed, p.packed, p.alpha, p.mu, layer_idx,
-            block_size=bs, a8=impl == "a8",
-        )
-        if p.bias is not None:
-            out = out + p.bias[layer_idx].astype(out.dtype)
-        return out.astype(out_dtype).reshape(*lead, n)
+            out = ternary_matmul_pallas_igathered_stacked(
+                x2, p.perm, p.packed, p.alpha, p.mu, layer_idx,
+                block_size=bs, a8=impl == "a8",
+            )
+            if p.bias is not None:
+                out = out + p.bias[layer_idx].astype(out.dtype)
+            return out.astype(out_dtype).reshape(*lead, n)
+        if FUSED_GATHER:
+            from .kernels.pallas_ternary import (
+                ternary_matmul_pallas_gathered_stacked,
+            )
+
+            out = ternary_matmul_pallas_gathered_stacked(
+                x2, p.gather.packed, p.packed, p.alpha, p.mu, layer_idx,
+                block_size=bs, a8=impl == "a8",
+            )
+            if p.bias is not None:
+                out = out + p.bias[layer_idx].astype(out.dtype)
+            return out.astype(out_dtype).reshape(*lead, n)
     xk = _input_lanes(p, x2, K, impl, layer_idx)
     if use_pallas:
         from .kernels.pallas_ternary import ternary_matmul_pallas_stacked
@@ -435,17 +640,31 @@ def ternary_linear_apply(
         and bs % 128 == 0
         and p.out_features % 128 == 0
     )
-    if use_pallas and p.gather is not None and FUSED_GATHER and x2.shape[0] <= 64:
+    if (use_pallas and p.gather is not None and x2.shape[0] <= 64
+            and not (p.identity_perm or p.input_folded)):
         # Decode-size rows only — see ternary_linear_apply_stacked.
-        from .kernels.pallas_ternary import ternary_matmul_pallas_gathered
+        if IGATHER_FUSED:
+            from .kernels.pallas_ternary import (
+                ternary_matmul_pallas_igathered,
+            )
 
-        out = ternary_matmul_pallas_gathered(
-            x2, p.gather.packed, p.packed, p.alpha, p.mu, block_size=bs,
-            a8=impl == "a8",
-        )
-        if p.bias is not None:
-            out = out + p.bias.astype(out.dtype)
-        return out.astype(out_dtype).reshape(*lead, p.out_features)
+            out = ternary_matmul_pallas_igathered(
+                x2, p.perm, p.packed, p.alpha, p.mu, block_size=bs,
+                a8=impl == "a8",
+            )
+            if p.bias is not None:
+                out = out + p.bias.astype(out.dtype)
+            return out.astype(out_dtype).reshape(*lead, p.out_features)
+        if FUSED_GATHER:
+            from .kernels.pallas_ternary import ternary_matmul_pallas_gathered
+
+            out = ternary_matmul_pallas_gathered(
+                x2, p.gather.packed, p.packed, p.alpha, p.mu, block_size=bs,
+                a8=impl == "a8",
+            )
+            if p.bias is not None:
+                out = out + p.bias.astype(out.dtype)
+            return out.astype(out_dtype).reshape(*lead, p.out_features)
     xk = _input_lanes(p, x2, K, impl)  # (B, K)
     if use_pallas:
         from .kernels.pallas_ternary import ternary_matmul_pallas

@@ -112,6 +112,61 @@ def main():
                 f"fused gather+matmul {4096}x{n_out} a8={a8f}", got, want, 1e-5
             )
 
+    # 2c. fused iota-gather+matmul (v2, safe grid) vs two-step, and the
+    # fused MLP megakernel vs the two-call path — on hardware at 7B-like
+    # shapes (multi-output-tile + multi-j grids for the revisit pattern).
+    from pt2tpu.ops.kernels.pallas_ternary import (
+        ternary_matmul_pallas_igathered,
+        ternary_mlp_pallas,
+    )
+
+    for n_out in (4096, 12288):
+        p8 = random_ternary_linear(
+            jax.random.PRNGKey(11), n_out, 4096, perm_mode="ssr"
+        )
+        x8 = jnp.asarray(rng.standard_normal((5, 4096)), jnp.bfloat16)
+        for a8f in (False, True):
+            xg8 = gather_apply(p8.gather, x8, impl="pallas")
+            want = ternary_matmul_pallas(
+                jnp.asarray(xg8, jnp.bfloat16), p8.packed, p8.alpha, p8.mu,
+                block_size=128, a8=a8f,
+            )
+            got = ternary_matmul_pallas_igathered(
+                x8, p8.perm, p8.packed, p8.alpha, p8.mu,
+                block_size=128, a8=a8f,
+            )
+            ok &= check(
+                f"igather fused 4096x{n_out} a8={a8f}", got, want, 1e-4
+            )
+
+    from pt2tpu.quant import fold as foldmod
+
+    class _GCfg:
+        gated_mlp = True
+
+    D_m, I_m, n_m = 4096, 11008, 4096  # llama-2-7b MLP dims
+    lpm = foldmod.fold_layer_perms(_GCfg(), {
+        "gateup": random_ternary_linear(
+            jax.random.PRNGKey(12), 2 * I_m, D_m, perm_mode="ssr"
+        ),
+        "down": random_ternary_linear(
+            jax.random.PRNGKey(13), n_m, I_m, perm_mode="ssr"
+        ),
+    })
+    gum, dnm = lpm["gateup"], lpm["down"]
+    xm = jnp.asarray(rng.standard_normal((2, D_m)), jnp.bfloat16)
+    guo = ternary_linear_apply(gum, xm, impl="pallas",
+                               out_dtype=jnp.float32)
+    midm = (jax.nn.silu(guo[..., :I_m]) * guo[..., I_m:]).astype(jnp.bfloat16)
+    want = ternary_linear_apply(dnm, midm, impl="pallas",
+                                out_dtype=jnp.float32)
+    got = ternary_mlp_pallas(
+        xm, gum.perm, gum.packed, gum.alpha, gum.mu,
+        dnm.packed, dnm.alpha, dnm.mu, act="silu", intermediate=I_m,
+    )
+    # two-call rounds mid through bf16; fused keeps f32 -> tolerance
+    ok &= check("fused MLP 7B dims", got, want, 5e-3)
+
     # 3. stacked layer-indexed kernel vs per-layer apply (with SSR gathers)
     L = 3
     ps = [
