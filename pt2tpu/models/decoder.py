@@ -714,7 +714,10 @@ def layer_forward(
             return x, LayerIO(kv=new_kv, taps=taps if return_taps else None)
         gu = apply_linear(lp["gateup"], h, impl, layer_idx)
         I = cfg.intermediate
-        mid = _act(cfg, gu[..., :I]) * gu[..., I:]
+        # gate/up halves split at the STORED width: pad_gateup_blocks may
+        # have widened each half past cfg.intermediate with zero columns.
+        half = gu.shape[-1] // 2
+        mid = _act(cfg, gu[..., :I]) * gu[..., half : half + I]
     elif cfg.gated_mlp:
         g = _act(cfg, apply_linear(lp["gate"], h, impl, layer_idx))
         u = apply_linear(lp["up"], h, impl, layer_idx)

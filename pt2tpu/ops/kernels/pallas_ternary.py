@@ -679,7 +679,10 @@ def _igather_vmem_estimate(tn, bps, bs, Bp, D, K):
     base = _vmem_estimate(tn, bps, bs, Bp)
     xfull = Bp * D * 2
     xg = Bp * K * 2
-    iota_temps = 2 * 128 * K * 4 + Bp * K * 4  # rows/compare plane + acc
+    # windowed prologue (_gather_win): compare plane + one-hot + acc per
+    # <=1024-lane window, not the full K span
+    W = 1024
+    iota_temps = 2 * 128 * W * 4 + Bp * W * 4
     return base + xfull + xg + iota_temps
 
 
@@ -1005,8 +1008,8 @@ def _mlp_vmem_estimate(tb, D, Kg, nbg, bs, bps_d, n):
     dn = 2 * bps_d * bs4 * n + 2 * 2 * bps_d * n * 2
     out = tb * n * 4
     # unpack temps are dominated by down's (4 int32 plane tiles + bf16
-    # code tile) plus the gather prologue's compare plane
-    temps = 4 * bs4 * n * 4 + bs * n * 2 + 128 * Kg * 2 + 3 * tb * n * 4
+    # code tile) plus the gather prologue's (windowed) compare plane
+    temps = 4 * bs4 * n * 4 + bs * n * 2 + 128 * 1024 * 2 + 3 * tb * n * 4
     return x + xg + gu + dn + out + temps
 
 
@@ -1028,7 +1031,13 @@ def _pick_bps_mlp(nv, tb, D, Kg, nbg, bs, n, want=8):
 
 def _mlp_common(x, gu_packed, gu_alpha, dn_packed, dn_alpha,
                 block_size, intermediate):
-    """Shared shape validation; returns (gated, Kg, n, nbg, nv)."""
+    """Shared shape validation; returns (gated, Kg, n, nbg, half, nv).
+
+    ``half`` is the stored gate-half width: >= intermediate when the
+    producer was padded to an 8-block multiple by
+    quant.fold.pad_gateup_blocks (pad columns carry zero scales, so the
+    sweep may include them exactly). The grid visits nv = half // bs
+    k-blocks; down must have scale rows through the superblock bound."""
     Kg4, gu_n = gu_packed.shape[-2], gu_packed.shape[-1]
     Kg = Kg4 * 4
     nbg = gu_alpha.shape[-2]
@@ -1036,10 +1045,12 @@ def _mlp_common(x, gu_packed, gu_alpha, dn_packed, dn_alpha,
     nbd = dn_alpha.shape[-2]
     bs = block_size
     I = intermediate
-    if gu_n == 2 * I:
+    if gu_n >= 2 * I and gu_n % (2 * bs) == 0:
         gated = True
-    elif gu_n == I:
+        half = gu_n // 2
+    elif gu_n >= I and gu_n % bs == 0:
         gated = False
+        half = gu_n
     else:
         raise ValueError(f"gateup width {gu_n} vs intermediate {I}")
     if bs % 128 != 0 or nbg * bs != Kg or nbd * bs != Kd4 * 4:
@@ -1048,9 +1059,9 @@ def _mlp_common(x, gu_packed, gu_alpha, dn_packed, dn_alpha,
         )
     if I % bs != 0:
         raise ValueError(f"intermediate {I} not a multiple of block {bs}")
-    nv = I // bs  # valid down k-blocks; pads (alpha=mu=0) are never visited
+    nv = half // bs  # swept k-blocks (pad blocks are zero-scaled: exact)
     if nv > nbd:
-        raise ValueError(f"intermediate blocks {nv} exceed down blocks {nbd}")
+        raise ValueError(f"gate-half blocks {nv} exceed down blocks {nbd}")
     if -(-nv // 8) * 8 > nbd:
         # the (8, n) scale superblock of the last visited step must exist
         raise ValueError(
@@ -1058,7 +1069,7 @@ def _mlp_common(x, gu_packed, gu_alpha, dn_packed, dn_alpha,
         )
     if n % 128 != 0:
         raise ValueError(f"out_features {n} must be a multiple of 128")
-    return gated, Kg, n, nbg, nv
+    return gated, Kg, n, nbg, half, nv
 
 
 @functools.partial(
@@ -1081,7 +1092,7 @@ def ternary_mlp_pallas(
     blocks_per_step: int = 0,  # 0 = auto
 ) -> jax.Array:
     """Whole ternary MLP in one pallas call: returns (B, n) f32."""
-    gated, Kg, n, nbg, nv = _mlp_common(
+    gated, Kg, n, nbg, half, nv = _mlp_common(
         x, gu_packed, gu_alpha, dn_packed, dn_alpha, block_size, intermediate
     )
     bs = block_size
@@ -1106,7 +1117,7 @@ def ternary_mlp_pallas(
     if nv % bps_d != 0:
         raise ValueError(f"blocks_per_step {bps_d} must divide {nv}")
     tn_g = bps_d * bs
-    up_off = I // tn_g  # up half starts this many tn_g-blocks in
+    up_off = half // tn_g  # up half starts this many tn_g-blocks in
 
     specs = [pl.BlockSpec((tb, D), lambda b, k: (b, 0),
                           memory_space=pltpu.VMEM)]
@@ -1193,7 +1204,7 @@ def ternary_mlp_pallas_stacked(
 ) -> jax.Array:
     """Scan-over-layers fused MLP: scalar-prefetched layer index, whole
     stacked arrays (ternary_matmul_pallas_stacked rationale)."""
-    gated, Kg, n, nbg, nv = _mlp_common(
+    gated, Kg, n, nbg, half, nv = _mlp_common(
         x, gu_packed, gu_alpha, dn_packed, dn_alpha, block_size, intermediate
     )
     bs = block_size
@@ -1218,7 +1229,7 @@ def ternary_mlp_pallas_stacked(
     if nv % bps_d != 0:
         raise ValueError(f"blocks_per_step {bps_d} must divide {nv}")
     tn_g = bps_d * bs
-    up_off = I // tn_g
+    up_off = half // tn_g
 
     specs = [pl.BlockSpec((tb, D), lambda b, k, li: (b, 0),
                           memory_space=pltpu.VMEM)]

@@ -44,7 +44,8 @@ from ..models.common import DenseLinear
 from ..ops.gather import make_packed_gather
 from ..ops.ternary_matmul import PackedTernaryLinear
 
-__all__ = ["fold_layer_perms", "foldable_prefix_perm", "permute_out"]
+__all__ = ["fold_layer_perms", "foldable_prefix_perm", "permute_out",
+           "pad_gateup_blocks"]
 
 # Projections whose input permutation can only be realized at runtime.
 _GATHER_TARGETS = ("qkv", "q", "k", "v", "o", "gateup", "gate", "up")
@@ -207,3 +208,64 @@ def fold_head_perm(packed: PackedTernaryLinear) -> PackedTernaryLinear:
     if packed.identity_perm or packed.input_folded or packed.gather is not None:
         return packed
     return _attach_gather(packed)
+
+
+def pad_gateup_blocks(lp: Dict[str, Any], multiple: int = 8) -> Dict[str, Any]:
+    """Inference-prep transform: pad a folded gateup's gate/up halves with
+    zero-scale columns to a ``multiple``-of-128-column block count.
+
+    The fused MLP megakernel sweeps down's k-blocks in groups of
+    ``blocks_per_step``; Mosaic's sublane-block rule plus VMEM budgets want
+    steps of 8 blocks (tn_g = 1024), but llama-class intermediates
+    (11008 -> 86 blocks) only divide by {1, 2, 43, 86}. Padding each half
+    86 -> 88 blocks costs 2.3% extra MLP stream and unlocks the wide grid.
+
+    Exact: pad columns carry alpha = mu = 0, so gate = up = 0 there and the
+    down blocks they feed are the zero-scaled pad blocks. Artifacts stay
+    canonical (unpadded) — this runs where layers are stacked for serving
+    (randmodel / checkpoint.load_model / quant pipeline). The decoder's
+    two-call fallback splits gate/up at ``out_features // 2`` so both paths
+    agree on the padded layout.
+    """
+    gu, dn = lp.get("gateup"), lp.get("down")
+    if lp.get("router") is not None:
+        # MoE expert-stacked leaves: _moe_expert_apply splits at
+        # cfg.expert_inter — keep experts unpadded.
+        return lp
+    if not (
+        isinstance(gu, PackedTernaryLinear)
+        and isinstance(dn, PackedTernaryLinear)
+    ):
+        return lp
+    # ndim 2: per-layer (pipeline/randmodel); ndim 3: layer-stacked
+    # (checkpoint.load_model). Padding acts on the last axis either way.
+    if gu.packed.ndim not in (2, 3) or not dn.input_folded:
+        return lp
+    I = dn.in_features
+    if gu.out_features != 2 * I or I % 128 != 0:
+        return lp
+    nv = I // 128
+    nv8 = -(-nv // multiple) * multiple
+    if nv8 == nv:
+        return lp
+    if nv8 > dn.alpha.shape[-2]:
+        return lp  # down lacks the pad scale rows; keep the narrow layout
+    pad = (nv8 - nv) * 128
+    import jax.numpy as jnp
+
+    def padded(a):
+        gate, up = a[..., :I], a[..., I:]
+        z = ((0, 0),) * (a.ndim - 1) + ((0, pad),)
+        return jnp.concatenate(
+            [jnp.pad(gate, z), jnp.pad(up, z)], axis=-1
+        )
+
+    lp = dict(lp)
+    lp["gateup"] = dataclasses.replace(
+        gu,
+        packed=padded(gu.packed),
+        alpha=padded(gu.alpha),
+        mu=padded(gu.mu),
+        bias=None if gu.bias is None else padded(gu.bias),
+    )
+    return lp

@@ -384,7 +384,11 @@ def quantize_model(
         for k, v in out_params.items():
             if k != "layers" and v is not None:
                 out_params[k] = jax.device_put(v, dev)
-    out_params["layers"] = dec.stack_layers(new_layers)
+    from .fold import pad_gateup_blocks
+
+    out_params["layers"] = dec.stack_layers(
+        [pad_gateup_blocks(lp) for lp in new_layers]
+    )
 
     if qcfg.quantize_lm_head and out_params.get("lm_head") is not None:
         # Calibrate against what actually feeds the head: final-norm outputs.

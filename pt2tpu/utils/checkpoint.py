@@ -202,6 +202,10 @@ def load_model(
     cfg = dec.ModelConfig(**manifest["model_config"])
     arrays = _read_npz(os.path.join(path, "arrays.npz"))
     params = _unflatten("", manifest["structure"], arrays)
+    if isinstance(params.get("layers"), dict):
+        from ..quant.fold import pad_gateup_blocks
+
+        params["layers"] = pad_gateup_blocks(params["layers"])
     if mesh is not None:
         from ..parallel.sharding import shard_params
 

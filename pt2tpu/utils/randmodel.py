@@ -194,5 +194,8 @@ def random_ternary_params(
         if not fused and not cfg.gated_mlp:
             lp["gate"] = None
         layers.append(lp)
+    from ..quant.fold import pad_gateup_blocks
+
+    layers = [pad_gateup_blocks(lp) for lp in layers]
     params["layers"] = dec.stack_layers(layers)
     return params

@@ -142,3 +142,40 @@ def test_fused_mlp_apply_wrapper_shape_and_value():
     assert got.shape == (2, 3, n)
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 5e-4, rel
+
+
+def test_pad_gateup_blocks_exact():
+    """pad_gateup_blocks widens gate/up halves with zero-scale columns:
+    the fused kernel (bps_d-friendly grid) and the decoder's half-split
+    two-call path both reproduce the unpadded math exactly."""
+    D, I, n = 512, 640, 512  # nv=5 -> padded to 8 blocks per half
+    lp = _make_lp(7, D, I, n)
+    lpp = foldmod.pad_gateup_blocks(lp)
+    gu0, gup, dn = lp["gateup"], lpp["gateup"], lpp["down"]
+    assert gup.out_features == 2 * 1024 and gu0.out_features == 2 * I
+    x = jax.random.normal(jax.random.PRNGKey(8), (4, D), jnp.float32)
+    want = np.asarray(_ref(lp, x, I))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ternary_mlp_pallas(
+            x, gup.perm, gup.packed, gup.alpha, gup.mu,
+            dn.packed, dn.alpha, dn.mu, act="silu", intermediate=I,
+        ))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 5e-4, rel
+    # two-call path on the padded layout (decoder splits at out//2)
+    guo = ternary_linear_apply(gup, x, impl="xla", out_dtype=jnp.float32)
+    half = guo.shape[-1] // 2
+    mid = jax.nn.silu(guo[..., :I]) * guo[..., half : half + I]
+    got2 = np.asarray(
+        ternary_linear_apply(dn, mid, impl="xla", out_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got2, want, rtol=0, atol=0)
+
+
+def test_pad_gateup_blocks_skips_moe_and_noop_cases():
+    D, I, n = 512, 1024, 512  # nv=8: already a multiple -> no-op
+    lp = _make_lp(8, D, I, n)
+    assert foldmod.pad_gateup_blocks(lp)["gateup"] is lp["gateup"]
+    lp2 = _make_lp(9, D, 640, n)
+    lp2["router"] = object()  # MoE marker: experts stay unpadded
+    assert foldmod.pad_gateup_blocks(lp2)["gateup"] is lp2["gateup"]
