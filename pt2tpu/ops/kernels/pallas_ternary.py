@@ -679,10 +679,13 @@ def _igather_vmem_estimate(tn, bps, bs, Bp, D, K):
     base = _vmem_estimate(tn, bps, bs, Bp)
     xfull = Bp * D * 2
     xg = Bp * K * 2
-    # windowed prologue (_gather_win): compare plane + one-hot + acc per
-    # <=1024-lane window, not the full K span
-    W = 1024
-    iota_temps = 2 * 128 * W * 4 + Bp * W * 4
+    # Windowed prologue (_gather_win): compare plane + one-hot + acc per
+    # <=4096-lane window. Charged at HALF size: the prologue runs once at
+    # step (0,0) and its buffers largely time-share the per-step unpack
+    # temps already counted in ``base`` (charging the full window pushed
+    # qkv from bps=16 to 8 for temps that never coexist).
+    W = 4096
+    iota_temps = (2 * 128 * W * 4 + Bp * W * 4) // 2
     return base + xfull + xg + iota_temps
 
 
@@ -910,8 +913,10 @@ def _act_fn(act: str):
 def _gather_win(Kg: int) -> int:
     """Output-lane window for the iota prologue: bounds the (128, W)
     compare-plane temporaries (a full-Kg plane stack blew the 16 MB scoped
-    VMEM at K=12288 — Mosaic does not fully reuse unrolled-loop buffers)."""
-    for w in (1024, 512, 256, 128):
+    VMEM at K=12288 — Mosaic does not fully reuse unrolled-loop buffers).
+    Prefer the widest window <= 4096: wider one-hot dots fill the MXU
+    better ((16,128)x(128,4096) vs 4x (..x1024)) at ~3.5 MB of temps."""
+    for w in (4096, 2048, 1024, 512, 256, 128):
         if Kg % w == 0:
             return w
     return Kg
@@ -1009,12 +1014,16 @@ def _mlp_vmem_estimate(tb, D, Kg, nbg, bs, bps_d, n):
     out = tb * n * 4
     # unpack temps are dominated by down's (4 int32 plane tiles + bf16
     # code tile) plus the gather prologue's (windowed) compare plane
-    temps = 4 * bs4 * n * 4 + bs * n * 2 + 128 * 1024 * 2 + 3 * tb * n * 4
+    temps = 4 * bs4 * n * 4 + bs * n * 2 + 128 * 4096 * 2 + 3 * tb * n * 4
     return x + xg + gu + dn + out + temps
 
 
 def _pick_bps_mlp(nv, tb, D, Kg, nbg, bs, n, want=8):
-    budget = 12 * 1024 * 1024
+    # Slightly past the shared 12 MB heuristic: the estimate double-counts
+    # prologue-vs-steady-state temps that time-share in practice, and the
+    # wide (bps_d=8) grid measured level with two-call only at tn_g=1024.
+    # Hardware overflow is caught by verify_fused_mlp -> two-call fallback.
+    budget = int(13.5 * 1024 * 1024)
     # Mosaic sublane rule: the dn-scale window must either BE the (8, n)
     # superblock stride (bps_d % 8 == 0) or sit inside one (8 % bps_d == 0).
     cands = sorted((b for b in range(1, nv + 1)
