@@ -169,6 +169,12 @@ def main():
         help="skip the dense baseline if the ternary phase already consumed "
         "this many seconds (tunnel compile latency is highly variable)",
     )
+    ap.add_argument(
+        "--artifact", default=None,
+        help="benchmark a REAL quantized artifact directory "
+        "(utils/checkpoint.load_model) instead of the layout-realistic "
+        "random model — the one-artifact quality+speed protocol",
+    )
     ap.add_argument("--dense-probe", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
     if args.dense_probe:
@@ -216,9 +222,17 @@ def main():
         )
         args.model, args.layers = "tiny-llama", 2
 
-    cfg = get_config(args.model)
-    if args.layers:
-        cfg = cfg.with_(n_layers=args.layers)
+    if args.artifact:
+        from pt2tpu.utils.checkpoint import load_model
+
+        cfg, _art_params = load_model(args.artifact)
+        args.model = os.path.basename(os.path.normpath(args.artifact))
+        if args.layers:
+            raise SystemExit("--layers cannot override a real artifact's depth")
+    else:
+        cfg = get_config(args.model)
+        if args.layers:
+            cfg = cfg.with_(n_layers=args.layers)
     cfg = cfg.with_(max_seq_len=max(cfg.max_seq_len, args.prompt + args.new))
     impl = "a8" if args.a8 else "auto"
 
@@ -231,12 +245,15 @@ def main():
         _tm.verify_fused_mlp()
         _tm.verify_igather_fused()
 
-    tparams = random_ternary_params(
-        cfg,
-        jax.random.PRNGKey(0),
-        perm_mode=args.perms,
-        ternary_lm_head=args.lm_head == "ternary",
-    )
+    if args.artifact:
+        tparams = _art_params
+    else:
+        tparams = random_ternary_params(
+            cfg,
+            jax.random.PRNGKey(0),
+            perm_mode=args.perms,
+            ternary_lm_head=args.lm_head == "ternary",
+        )
     spec_stats = None
     if args.mode == "prefill":
         tok_s = bench_prefill(
