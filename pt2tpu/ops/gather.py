@@ -113,8 +113,10 @@ def gather_apply(
         raise ValueError(f"input features {m} != gather in_features {g.in_features}")
     x2 = x.reshape(-1, m)
     stacked = g.packed.ndim == 3
-    use_pallas = impl in ("pallas", "a8") or (
-        impl == "auto" and jax.default_backend() == "tpu"
+    # a8 forces pallas only on TPU; on other backends the index-gather
+    # fallback is exact (a gather has no a8-specific numerics).
+    use_pallas = impl == "pallas" or (
+        impl in ("a8", "auto") and jax.default_backend() == "tpu"
     )
     if use_pallas:
         D = g.packed.shape[-2] * 4

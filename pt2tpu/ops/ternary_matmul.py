@@ -539,6 +539,28 @@ def ternary_matmul_xla(
     return out
 
 
+def ternary_matmul_xla_a8(
+    x: jax.Array,
+    packed: jax.Array,
+    alpha: jax.Array,
+    mu: jax.Array,
+    *,
+    block_size: int = 128,
+) -> jax.Array:
+    """XLA emulation of the pallas kernel's W2A8 semantics for non-TPU
+    backends (the CLI ``--a8`` quality gate must run on the CPU backend —
+    pallas has no compiled CPU path). Matches the kernel's quantization
+    exactly: per-row absmax bf16 normalization, round-to-int8 activations,
+    integer dots (a 4096-term dot of |v|<=254 integers stays below 2^24, so
+    f32 accumulation is exact), output rescale by the row scale.
+    """
+    from .kernels.pallas_ternary import normalize_rows_a8
+
+    xn, sx = normalize_rows_a8(x)  # bf16 x_norm (kernel operand), f32 sx
+    xq = jnp.clip(jnp.round(xn.astype(jnp.float32)), -127, 127)
+    return ternary_matmul_xla(xq, packed, alpha, mu, block_size=block_size) * sx
+
+
 def ternary_linear_apply_stacked(
     p: PackedTernaryLinear,
     x: jax.Array,
@@ -560,11 +582,11 @@ def ternary_linear_apply_stacked(
     L, K4, n = p.packed.shape
     K = K4 * 4
     bs = K4 * 4 // p.alpha.shape[-2]
-    use_pallas = impl in ("pallas", "a8") or (
-        impl == "auto"
-        and jax.default_backend() == "tpu"
-        and bs % 128 == 0
-        and n % 128 == 0
+    on_tpu = jax.default_backend() == "tpu"
+    # "a8" forces the pallas kernel only on TPU; elsewhere it routes to the
+    # XLA emulation below (same quantization semantics, no pallas CPU path).
+    use_pallas = impl == "pallas" or (impl == "a8" and on_tpu) or (
+        impl == "auto" and on_tpu and bs % 128 == 0 and n % 128 == 0
     )
     if (use_pallas and p.gather is not None and x2.shape[0] <= 64
             and not (p.identity_perm or p.input_folded)):
@@ -606,7 +628,8 @@ def ternary_linear_apply_stacked(
             a8=impl == "a8",
         )
     else:
-        out = ternary_matmul_xla(
+        xla_fn = ternary_matmul_xla_a8 if impl == "a8" else ternary_matmul_xla
+        out = xla_fn(
             xk, p.packed[layer_idx], p.alpha[layer_idx], p.mu[layer_idx],
             block_size=bs,
         )
@@ -634,9 +657,10 @@ def ternary_linear_apply(
     K = p.packed.shape[0] * 4
 
     bs = p.block_size
-    use_pallas = impl in ("pallas", "a8") or (
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = impl == "pallas" or (impl == "a8" and on_tpu) or (
         impl == "auto"
-        and jax.default_backend() == "tpu"
+        and on_tpu
         and bs % 128 == 0
         and p.out_features % 128 == 0
     )
@@ -672,6 +696,8 @@ def ternary_linear_apply(
         out = ternary_matmul_pallas(
             xk, p.packed, p.alpha, p.mu, block_size=bs, a8=impl == "a8"
         )
+    elif impl == "a8":
+        out = ternary_matmul_xla_a8(xk, p.packed, p.alpha, p.mu, block_size=bs)
     else:
         out = ternary_matmul_xla(xk, p.packed, p.alpha, p.mu, block_size=bs)
 

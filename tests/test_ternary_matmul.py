@@ -124,6 +124,28 @@ def test_pallas_a8_close_to_xla(rng):
     assert rel < 0.02, rel
 
 
+def test_a8_xla_emulation_matches_kernel(rng):
+    """ternary_matmul_xla_a8 (the non-TPU --a8 quality-gate path) reproduces
+    the pallas kernel's W2A8 quantization semantics: same bf16 row
+    normalization, same int8 rounding, integer-exact dots."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pt2tpu.ops.ternary_matmul import ternary_matmul_xla_a8
+
+    K, n = 256, 256
+    nb = K // 128
+    packed = jnp.asarray(rng.integers(-128, 128, (K // 4, n)), jnp.int8)
+    alpha = jnp.asarray(rng.uniform(0.01, 0.02, (nb, n)), jnp.float32)
+    mu = jnp.asarray(rng.normal(0, 0.002, (nb, n)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, K)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        kern = ternary_matmul_pallas(x, packed, alpha, mu, tile_n=128, a8=True)
+    emu = ternary_matmul_xla_a8(x, packed, alpha, mu)
+    denom = float(jnp.max(jnp.abs(kern))) + 1e-9
+    rel = float(jnp.max(jnp.abs(emu - kern))) / denom
+    assert rel < 1e-5, rel
+
+
 def test_telescoped_exact_vs_masked(rng):
     """ADVICE r1: the telescoped unpack's exactness vs the masked path is
     empirical (raw planes reach 255 vs 3; the d2[:B]+d2[B:] fold adds a
