@@ -22,6 +22,16 @@ import sys
 import time
 
 import jax
+
+# Honor JAX_PLATFORMS even when a sitecustomize imported jax before this
+# process's env var could take effect (same pattern as pt2tpu/cli.py:407).
+_want = os.environ.get("JAX_PLATFORMS")
+if _want:
+    try:
+        jax.config.update("jax_platforms", _want)
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 
 
@@ -214,7 +224,9 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     _backend_up.set()  # tunnel answered; cancel the watchdog
-    if not on_tpu:
+    if not on_tpu and not args.artifact:
+        # (an --artifact run keeps the artifact's own config on any backend:
+        # its depth/dims supersede the model/layers defaults)
         print(
             "warning: not on TPU, benchmarking tiny config on "
             + jax.default_backend(),
@@ -225,10 +237,17 @@ def main():
     if args.artifact:
         from pt2tpu.utils.checkpoint import load_model
 
-        cfg, _art_params = load_model(args.artifact)
-        args.model = os.path.basename(os.path.normpath(args.artifact))
         if args.layers:
             raise SystemExit("--layers cannot override a real artifact's depth")
+        if args.perms != "ssr" or args.lm_head != "bf16":
+            print(
+                "warning: --perms/--lm-head describe the random layout model "
+                "and are ignored for a real --artifact (its packed layout is "
+                "whatever quantization produced)",
+                file=sys.stderr,
+            )
+        cfg, tparams = load_model(args.artifact)
+        args.model = os.path.basename(os.path.normpath(args.artifact))
     else:
         cfg = get_config(args.model)
         if args.layers:
@@ -245,9 +264,7 @@ def main():
         _tm.verify_fused_mlp()
         _tm.verify_igather_fused()
 
-    if args.artifact:
-        tparams = _art_params
-    else:
+    if not args.artifact:
         tparams = random_ternary_params(
             cfg,
             jax.random.PRNGKey(0),
@@ -289,11 +306,18 @@ def main():
         tok_s = bench_decode(
             cfg, tparams, args.prompt, args.new, impl, args.reps, batch=args.batch
         )
+    layout = (
+        f"artifact {args.artifact}" if args.artifact else f"{args.perms} perms"
+    )
     print(
-        f"ternary {cfg.n_layers}L ({args.perms} perms, {args.mode}): "
+        f"ternary {cfg.n_layers}L ({layout}, {args.mode}): "
         f"{tok_s:.2f} tok/s",
         file=sys.stderr,
     )
+    pct_roofline = None
+    if args.mode == "decode" and on_tpu:
+        # _HBM_STREAM_GBS is this chip's measured rate — meaningless on CPU
+        pct_roofline = _pct_of_roofline(tparams, tok_s, args.batch)
     del tparams
     # Release the ternary model + compiled programs before the dense probes
     # (otherwise the 7B dense baseline OOMs next to retained state).
@@ -331,7 +355,42 @@ def main():
         "unit": "tok/s",
         "vs_baseline": round(vs, 3) if vs else None,
     }
+    if pct_roofline is not None:
+        rec["pct_weight_roofline"] = pct_roofline
     print(json.dumps(rec))
+
+
+# Measured dense-matvec HBM stream rate on this chip (RESULTS.md kernel
+# microbenchmarks): the per-token weight-read roofline divides this by the
+# bytes one decode token must stream.
+_HBM_STREAM_GBS = 770.0
+
+
+def _pct_of_roofline(tparams, tok_s, batch):
+    """Self-reported %-of-roofline for decode runs (north star: >=85%).
+
+    Roofline = every parameter byte except the token-embedding table (one
+    row read per token) streamed once per step, at the measured dense HBM
+    rate; batch rows amortize the stream. Attention/KV reads are excluded
+    (this is a weight-read ceiling, not an attainable bound at long
+    context).
+    """
+    import jax.tree_util as jtu
+
+    leaves = [
+        (jtu.keystr(p), leaf)
+        for p, leaf in jtu.tree_flatten_with_path(tparams)[0]
+    ]
+    tied = not any("lm_head" in n for n, _ in leaves)
+    total = 0
+    for name, leaf in leaves:
+        if "embed" in name and "pos" not in name and not tied:
+            continue  # one-row gather, not a full-table stream
+        total += getattr(leaf, "nbytes", 0)
+    if not total:
+        return None
+    roofline = batch * _HBM_STREAM_GBS * 1e9 / total
+    return round(100.0 * tok_s / roofline, 1)
 
 
 def _dense_probe(cfg, args, n_layers):
