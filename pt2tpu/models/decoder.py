@@ -449,7 +449,12 @@ def sliding_adjust(
     per_row = cache is not None and jnp.ndim(cache_pos) != 0
     if per_row:
         # Continuous-batching decode (L == 1): window -> kv_valid.
-        M = cache.k.shape[-3] if hasattr(cache, "k") else kv_valid.shape[-1]
+        # kv_valid's width is authoritative: paged views (serve/paged.py)
+        # carry the page POOL in .k, whose axes are not the logical cache.
+        if kv_valid is not None:
+            M = kv_valid.shape[-1]
+        else:
+            M = cache.k.shape[-3]
         kv_pos = jnp.arange(M)
         win_ok = kv_pos[None, :] > (cache_pos[:, None] - W)  # (B, M)
         base = (
@@ -458,6 +463,12 @@ def sliding_adjust(
             else jnp.ones((B, M), dtype=bool)
         )
         kv_valid = jnp.where(is_global, base, base & win_ok)
+    elif mask is None and kv_valid is not None and L == 1:
+        # Scalar-pos decode masked via kv_valid only (pipeline stages,
+        # parallel/pp.py pp_generate): fold the window into kv_valid.
+        kv_pos = jnp.arange(kv_valid.shape[-1])
+        win_ok = kv_pos[None, :] > (cache_pos - W)  # (1, M) broadcast
+        kv_valid = jnp.where(is_global, kv_valid, kv_valid & win_ok)
     else:
         if mask is None or mask.ndim != 2:
             raise ValueError(
@@ -621,10 +632,24 @@ def layer_forward(
     taps: Dict[str, jax.Array] = {}
 
     gli = global_layer_idx if global_layer_idx is not None else layer_idx
-    cos, sin, mask, kv_valid = sliding_adjust(
-        cfg, gli, cos, sin, cos_loc, sin_loc, mask, kv_valid,
-        cache, cache_pos, B, L,
-    )
+    # An attention override (ring attention, parallel/cp.py) computes its
+    # masking from GLOBAL positions internally — local masks would be
+    # wrong. Select the per-layer RoPE tables here and hand the window
+    # semantics to the override instead of folding them into mask/kv_valid.
+    ext_sliding = attn_fn is not None and cfg.has_sliding and cache is None
+    is_global_l = None
+    if ext_sliding:
+        if gli is None:
+            raise ValueError("sliding-window configs need layer_idx")
+        is_global_l = jnp.asarray(cfg.globals_list())[gli]
+        if cos_loc is not None:
+            cos = jnp.where(is_global_l, cos, cos_loc)
+            sin = jnp.where(is_global_l, sin, sin_loc)
+    else:
+        cos, sin, mask, kv_valid = sliding_adjust(
+            cfg, gli, cos, sin, cos_loc, sin_loc, mask, kv_valid,
+            cache, cache_pos, B, L,
+        )
 
     h = _norm(cfg, x, lp["ln1_w"], lp["ln1_b"])
     if return_taps:
@@ -673,6 +698,12 @@ def layer_forward(
                 q, ck, cv, mask, kv_valid,
                 scale=cfg.attn_scale, softcap=cfg.attn_softcap,
             )
+    elif ext_sliding:
+        ctx = attn_fn(
+            q, k, v, mask, scale=cfg.attn_scale, softcap=cfg.attn_softcap,
+            is_global=is_global_l, window=cfg.sliding_window,
+        )
+        new_kv = None
     else:
         ctx = (attn_fn or attention)(
             q, k, v, mask, scale=cfg.attn_scale, softcap=cfg.attn_softcap

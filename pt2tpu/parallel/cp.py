@@ -42,12 +42,21 @@ def ring_attention(
     axis: str,
     scale: Optional[float] = None,
     softcap: float = 0.0,
+    window: int = 0,  # 0 = all-global; >0 = width for non-global layers
+    is_global: Optional[jax.Array] = None,  # () bool: this layer is global
+    alibi: bool = False,  # bloom: additive slope_h * (k_pos - q_pos) bias
 ) -> jax.Array:
     """Causal ring attention inside shard_map over ``axis``.
 
     Online softmax (flash-style m/l running stats) over C rounds; KV blocks
     rotate via ppermute. Equals models.common.attention over the gathered
-    sequence (f32 accumulation; tests pin ~1e-5)."""
+    sequence (f32 accumulation; tests pin ~1e-5).
+
+    ``window``/``is_global`` fold per-layer sliding-window semantics
+    (gemma2/3) into the per-round global-position mask; ``alibi`` adds the
+    per-head linear distance bias (bloom) from the same global positions —
+    both exactly as models.decoder.build_mask/sliding_adjust do on the
+    single-device path."""
     B, Lq, H, hd = q.shape
     Hkv = k.shape[2]
     rep = H // Hkv
@@ -60,6 +69,11 @@ def ring_attention(
     )
     qg = idx * Lq + jnp.arange(Lq)  # global query positions (Lq,)
     q5 = q.reshape(B, Lq, Hkv, rep, hd)
+    slopes = None
+    if alibi:
+        from ..models.common import alibi_slopes
+
+        slopes = alibi_slopes(H).reshape(Hkv, rep)
 
     o0 = jnp.zeros((B, Hkv, rep, Lq, hd), jnp.float32)
     m0 = jnp.full((B, Hkv, rep, Lq, 1), _NEG, jnp.float32)
@@ -78,7 +92,21 @@ def ring_attention(
         )
         if softcap:
             s = jnp.float32(softcap) * jnp.tanh(s / jnp.float32(softcap))
+        if slopes is not None:
+            rel = kg[None, :].astype(jnp.float32) - qg[:, None].astype(
+                jnp.float32
+            )  # (Lq, M)
+            s = s + slopes[None, :, :, None, None] * rel[None, None, None]
         ok = kg[None, None, None, None, :] <= qg[None, None, None, :, None]
+        if window:
+            win = (
+                kg[None, None, None, None, :]
+                > qg[None, None, None, :, None] - window
+            )
+            if is_global is None:
+                ok = ok & win
+            else:
+                ok = ok & (is_global | win)
         s = jnp.where(ok, s, _NEG)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.where(ok, jnp.exp(s - m_new), 0.0)  # masked rows stay 0
@@ -114,33 +142,32 @@ def make_cp_forward_fn(
     Weights replicate across the context axis (compose with 'model'
     sharding upstream if needed); activations and KV stay sequence-local.
     """
-    if cfg.has_sliding:
-        raise NotImplementedError(
-            "ring attention supports global-attention configs (sliding-"
-            "window layers want the window-local path, serve/ring.py)"
-        )
-    if cfg.pos == "alibi":
-        raise NotImplementedError("ring attention: rope/learned models")
     C = mesh.shape[axis]
     if L % C:
         raise ValueError(f"sequence {L} % context axis {C} != 0")
     Lc = L // C
-    cos_all, sin_all, _, _ = dec.pos_tables(cfg, L)
+    cos_all, sin_all, cosl_all, sinl_all = dec.pos_tables(cfg, L)
+    if cosl_all is None:
+        # keep the shard_map arity fixed: pass the global tables twice
+        cosl_all, sinl_all = cos_all, sin_all
+    alibi = cfg.pos == "alibi"
 
-    def run(params_, toks, cos, sin):
+    def run(params_, toks, cos, sin, cos_l, sin_l):
         idx = jax.lax.axis_index(axis)
         h = dec.embed_tokens(cfg, params_, toks, pos0=idx * Lc)
 
-        def attn(qq, kk, vv, mask, scale=None, softcap=0.0):
+        def attn(qq, kk, vv, mask, scale=None, softcap=0.0,
+                 is_global=None, window=0):
             return ring_attention(
-                qq, kk, vv, axis, scale=scale, softcap=softcap
+                qq, kk, vv, axis, scale=scale, softcap=softcap,
+                window=window, is_global=is_global, alibi=alibi,
             )
 
         def body(carry, li):
             lp = dec.layer_view(params_["layers"], li)
             y, _ = dec.layer_forward(
                 cfg, lp, carry, cos, sin, None, impl=impl, layer_idx=li,
-                attn_fn=attn,
+                attn_fn=attn, cos_loc=cos_l, sin_loc=sin_l,
             )
             return y, None
 
@@ -161,11 +188,13 @@ def make_cp_forward_fn(
                 P(None, axis),
                 P(axis, None),
                 P(axis, None),
+                P(axis, None),
+                P(axis, None),
             ),
             out_specs=P(None, axis, None),
             check_vma=False,
         )
-    ), (cos_all, sin_all)
+    ), (cos_all, sin_all, cosl_all, sinl_all)
 
 
 def cp_forward(
@@ -177,7 +206,7 @@ def cp_forward(
     impl: str = "auto",
 ) -> jax.Array:
     """One-shot context-parallel causal forward -> logits (B, L, V)."""
-    fn, (cos, sin) = make_cp_forward_fn(
+    fn, tables = make_cp_forward_fn(
         cfg, mesh, params, tokens.shape[1], axis, impl
     )
-    return fn(params, tokens, cos, sin)
+    return fn(params, tokens, *tables)

@@ -223,10 +223,6 @@ def make_pp_generate_fn(
     redesign (one jitted program, ppermute rotation, no host round-trips
     per stage).
     """
-    if cfg.has_sliding:
-        raise NotImplementedError(
-            "staged PP decode supports global-attention configs"
-        )
     S = mesh.shape[axis]
     if cfg.n_layers % S:
         raise ValueError(f"n_layers {cfg.n_layers} % stages {S} != 0")
@@ -238,16 +234,26 @@ def make_pp_generate_fn(
     if Lp + max_new > M:
         raise ValueError(f"prompt {Lp} + max_new {max_new} > max_len {M}")
     T = n_micro + S - 1
-    cos_all, sin_all, _, _ = dec.pos_tables(cfg, M)
+    cos_all, sin_all, cosl_all, sinl_all = dec.pos_tables(cfg, M)
     prefill_mask = dec.build_mask(cfg, Lp, M)
     rot = [(i, i + 1) for i in range(S - 1)]
+
+    def _loc_slice(pos, L):
+        """Sliding-layer RoPE tables for positions [pos, pos+L) (gemma3's
+        distinct local base); None for single-table configs."""
+        if cosl_all is None:
+            return None, None
+        return (
+            jax.lax.dynamic_slice_in_dim(cosl_all, pos, L, 0),
+            jax.lax.dynamic_slice_in_dim(sinl_all, pos, L, 0),
+        )
 
     def run(params_, prompt):
         sid = jax.lax.axis_index(axis)
         local_layers = params_["layers"]  # this stage's (Ls, ...) slice
 
         def local_stack(x, kk, vv, row0, valid, cos, sin, mask, kv_valid,
-                        pos):
+                        pos, cos_l=None, sin_l=None):
             def body(carry, i):
                 x, kk, vv = carry
                 view = _MicroKV(kk, vv, i, row0, valid, mb=mb)
@@ -256,13 +262,15 @@ def make_pp_generate_fn(
                     cfg, lp, x, cos, sin, mask, cache=view, cache_pos=pos,
                     kv_valid=kv_valid, impl=impl, layer_idx=i,
                     global_layer_idx=sid * Ls + i,
+                    cos_loc=cos_l, sin_loc=sin_l,
                 )
                 return (y, io.kv.k, io.kv.v), None
 
             (y, kk, vv), _ = jax.lax.scan(body, (x, kk, vv), jnp.arange(Ls))
             return y, kk, vv
 
-        def pipeline_pass(x_all, kk, vv, cos, sin, mask, kv_valid, pos):
+        def pipeline_pass(x_all, kk, vv, cos, sin, mask, kv_valid, pos,
+                          cos_l=None, sin_l=None):
             """Run (B, L, D) through the local stages via the wave
             schedule; returns (last-stage hidden (B, L, D), kk, vv)."""
             L = x_all.shape[1]
@@ -277,7 +285,8 @@ def make_pp_generate_fn(
                 row0 = jnp.clip(mi, 0, n_micro - 1) * mb
                 valid = (mi >= 0) & (mi < n_micro)
                 y, kk, vv = local_stack(
-                    x_in, kk, vv, row0, valid, cos, sin, mask, kv_valid, pos
+                    x_in, kk, vv, row0, valid, cos, sin, mask, kv_valid,
+                    pos, cos_l, sin_l,
                 )
                 buf = jax.lax.ppermute(y, axis, perm=rot)
                 oi = t - (S - 1)
@@ -300,9 +309,10 @@ def make_pp_generate_fn(
         vv = jnp.zeros_like(kk)
 
         # --- prefill (all rows share Lp: lockstep contract) --------------
+        cosl_p, sinl_p = _loc_slice(jnp.int32(0), Lp)
         h, kk, vv = pipeline_pass(
             x0, kk, vv, cos_all[:Lp], sin_all[:Lp], prefill_mask, None,
-            jnp.int32(0),
+            jnp.int32(0), cosl_p, sinl_p,
         )
         logits0 = dec.unembed(cfg, params_, h[:, Lp - 1 :])[:, 0]
         tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
@@ -316,8 +326,9 @@ def make_pp_generate_fn(
             kv_valid = jnp.broadcast_to(
                 jnp.arange(M)[None, :] <= pos, (mb, M)
             )
+            cos_l, sin_l = _loc_slice(pos, 1)
             h, kk, vv = pipeline_pass(
-                x, kk, vv, cos, sin, None, kv_valid, pos
+                x, kk, vv, cos, sin, None, kv_valid, pos, cos_l, sin_l
             )
             logits = dec.unembed(cfg, params_, h)[:, 0]
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -188,10 +188,12 @@ def tp_layer_forward(
 
     Returns (hidden, updated KVLayerView or None). With ``cache`` given,
     this shard writes/reads only its own kv heads (head-sharded cache).
-    Covers the full gated-MLP family surface (llama/mistral/qwen/gemma/
-    gemma2/gemma3): norm_plus_one, act dispatch, qk-norm, sandwich norms,
-    attention scaling/softcap, per-layer sliding windows + dual RoPE —
-    per-head norms and the (D,)-sized sandwich norms are replicated, so
+    Covers the full dense family surface: gated MLPs (llama/mistral/qwen/
+    gemma/gemma2/gemma3 — norm_plus_one, act dispatch, qk-norm, sandwich
+    norms, attention scaling/softcap, per-layer sliding windows + dual
+    RoPE) AND non-gated MLPs (opt/gpt2/bloom — plain column-parallel fc1,
+    layernorm biases, per-head alibi masks sliced to this shard's heads).
+    Per-head norms and the (D,)-sized sandwich norms are replicated, so
     only the projections themselves are sharded.
     """
     ways = jax.lax.psum(1, axis)
@@ -204,6 +206,11 @@ def tp_layer_forward(
         cfg, layer_idx, cos, sin, cos_loc, sin_loc, mask, kv_valid,
         cache, cache_pos, B, L,
     )
+    if mask is not None and mask.ndim == 3 and mask.shape[0] == cfg.n_heads:
+        # per-head mask (alibi, dec.build_mask:373-377): this shard's heads
+        mask = jax.lax.dynamic_slice_in_dim(
+            mask, jax.lax.axis_index(axis) * H, H, axis=0
+        )
 
     h = dec._norm(cfg, x, lp["ln1_w"], lp.get("ln1_b"))
     qkv = apply_linear(lp["qkv"], h, impl, layer_idx)  # col: this shard's heads
@@ -241,9 +248,12 @@ def tp_layer_forward(
     x = x + ao
 
     h = dec._norm(cfg, x, lp["ln2_w"], lp.get("ln2_b"))
-    gu = apply_linear(lp["gateup"], h, impl, layer_idx)  # col: [gate_s|up_s]
-    Iloc = gu.shape[-1] // 2
-    mid = dec._act(cfg, gu[..., :Iloc]) * gu[..., Iloc:]
+    if lp.get("gateup") is not None:
+        gu = apply_linear(lp["gateup"], h, impl, layer_idx)  # col: [gate_s|up_s]
+        Iloc = gu.shape[-1] // 2
+        mid = dec._act(cfg, gu[..., :Iloc]) * gu[..., Iloc:]
+    else:  # non-gated (opt/gpt2/bloom): plain column-parallel fc1
+        mid = dec._act(cfg, apply_linear(lp["up"], h, impl, layer_idx))
     mid_full = jax.lax.all_gather(mid, axis, axis=-1, tiled=True)
     mo = tp_row_apply(lp["down"], mid_full, axis, chunks, impl, layer_idx)
     if cfg.sandwich_norm:
@@ -277,8 +287,18 @@ def shard_major_qkv(p, cfg: dec.ModelConfig, ways: int):
 
 
 def shard_major_gateup(p, intermediate: int, ways: int):
-    """[gate|up] -> per-shard [gate_s|up_s] (matched silu(gate)*up pairs)."""
-    I = intermediate
+    """[gate|up] -> per-shard [gate_s|up_s] (matched silu(gate)*up pairs).
+
+    Halves split at the STORED width, not cfg.intermediate:
+    quant/fold.pad_gateup_blocks may have padded each half with zero-scale
+    columns (round-3 fused-MLP wide grid), and mismatched pairing there
+    silently scrambles silu(gate)*up. Pad lanes pair with pad lanes
+    (both halves pad at their end), contributing exact zeros."""
+    I = p.out_features // 2
+    if I % ways:
+        raise ValueError(
+            f"stored gate half {I} not divisible by ways={ways}"
+        )
     idx = []
     for s in range(ways):
         idx.append(np.arange(s * I // ways, (s + 1) * I // ways))
@@ -294,19 +314,16 @@ def prepare_tp_layer(cfg: dec.ModelConfig, lp: Dict[str, Any], ways: int):
     """
     if cfg.n_heads % ways or cfg.kv_heads % ways or cfg.intermediate % ways:
         raise ValueError(f"ways={ways} must divide heads and intermediate")
-    if not cfg.gated_mlp:
-        raise NotImplementedError(
-            "manual TP covers the gated-MLP families (llama/mistral/qwen/"
-            "gemma/gemma2/gemma3); non-gated models (opt/gpt2/bloom) run "
-            "on the GSPMD path (parallel/sharding.py)"
-        )
     for name in ("o", "down"):
         nbp = lp[name].alpha.shape[-2]
         if nbp % ways:
             raise ValueError(f"{name}: padded blocks {nbp} not divisible by {ways}")
     out = dict(lp)
     out["qkv"] = shard_major_qkv(lp["qkv"], cfg, ways)
-    out["gateup"] = shard_major_gateup(lp["gateup"], cfg.intermediate, ways)
+    if cfg.gated_mlp:
+        out["gateup"] = shard_major_gateup(lp["gateup"], cfg.intermediate, ways)
+    # non-gated (opt/gpt2/bloom): ``up`` is plain column-parallel — any
+    # contiguous lane shard works, no matched-pair reordering needed
     return out
 
 
@@ -345,7 +362,7 @@ def tp_layer_specs(lp: Dict[str, Any]) -> Dict[str, Any]:
     for name, leaf in lp.items():
         if leaf is None:
             specs[name] = None
-        elif name in ("qkv", "gateup"):
+        elif name in ("qkv", "gateup", "up"):
             specs[name] = tern("col", leaf)
         elif name in ("o", "down"):
             specs[name] = tern("row", leaf)
@@ -365,7 +382,7 @@ def make_tp_layer_fn(
 ):
     """Jitted shard_map layer step: (lp, x replicated) -> x replicated."""
     cos, sin, cos_l, sin_l = dec.pos_tables(cfg, L)
-    mask = causal_mask(L, L)
+    mask = dec.build_mask(cfg, L, L)  # per-head for alibi (bloom)
     li = None if layer_idx is None else jnp.int32(layer_idx)
     fn = functools.partial(
         tp_layer_forward, cfg, axis="model", chunks=chunks, impl=impl,

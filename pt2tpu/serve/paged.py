@@ -310,10 +310,13 @@ class PagedServeEngine(ServeEngine):
                  kv_pages: Optional[int] = None, page_size: int = 64,
                  impl="auto", seed: int = 0, dtype=jnp.bfloat16,
                  kv_quant: bool = False):
-        if cfg.has_sliding:
-            raise NotImplementedError(
-                "paged pool + sliding windows: use make_ring_engine_fns"
-            )
+        # Sliding-window configs: the window is enforced in-attention
+        # (models.decoder.sliding_adjust folds it into kv_valid on the
+        # per-row decode path), so results are exact. Pages holding
+        # out-of-window history are NOT yet reclaimed — the memory
+        # optimization belongs with a window-aware page table; the ring
+        # engine (make_ring_engine_fns) already gives O(window) memory
+        # when every layer slides.
         if max_len % page_size:
             raise ValueError("max_len must be a multiple of page_size")
         maxp = max_len // page_size

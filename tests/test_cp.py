@@ -101,9 +101,31 @@ def test_cp_forward_quantized(rng):
     assert np.corrcoef(g.ravel(), w.ravel())[0, 1] > 0.9999
 
 
-def test_cp_forward_rejects_sliding():
+def test_cp_forward_sliding(rng):
+    """Ring attention on a sliding-window config (VERDICT r3 weak-4 lift):
+    per-layer global/local windows + dual RoPE fold into the per-round
+    global-position mask; equals the single-device forward."""
     cfg = get_config("tiny-gemma3")
     params = dec.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
-    mesh = make_mesh({"context": 2}, jax.devices()[:2])
-    with pytest.raises(NotImplementedError):
-        cp_forward(cfg, mesh, params, jnp.zeros((1, 8), jnp.int32))
+    # 32 > window 16, so the window actually clips cross-shard blocks
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 32)), jnp.int32)
+    want = dec.forward(cfg, params, toks, impl="xla")
+    mesh = make_mesh({"context": 4}, jax.devices()[:4])
+    got = cp_forward(cfg, mesh, params, toks, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=5e-4
+    )
+
+
+def test_cp_forward_alibi(rng):
+    """Ring attention on bloom: per-head alibi distance bias computed from
+    ring-global positions; equals the single-device forward."""
+    cfg = get_config("tiny-bloom")
+    params = dec.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 16)), jnp.int32)
+    want = dec.forward(cfg, params, toks, impl="xla")
+    mesh = make_mesh({"context": 4}, jax.devices()[:4])
+    got = cp_forward(cfg, mesh, params, toks, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=5e-4
+    )
