@@ -248,8 +248,12 @@ def pad_gateup_blocks(lp: Dict[str, Any], multiple: int = 8) -> Dict[str, Any]:
     nv8 = -(-nv // multiple) * multiple
     if nv8 == nv:
         return lp
-    if nv8 > dn.alpha.shape[-2]:
-        return lp  # down lacks the pad scale rows; keep the narrow layout
+    # Compare LANES, not scale-block counts: nv8 counts 128-lane blocks
+    # while down's alpha axis counts block_size-lane blocks — at
+    # block_size 32 the old count comparison padded gateup with no
+    # matching down rows (caught by the manual-TP dryrun).
+    if nv8 * 128 > dn.packed.shape[-2] * 4:
+        return lp  # down lacks the pad rows; keep the narrow layout
     pad = (nv8 - nv) * 128
     import jax.numpy as jnp
 
