@@ -1,0 +1,93 @@
+"""Honest speculative-decode acceptance on a REAL model pair.
+
+The chip bench's 4L-draft row (RESULTS round 4) measures 1.486x at
+acceptance 1.0 — an artifact of same-seed random weights. This script
+measures the acceptance a real draft actually achieves: the 6L tiny LM
+as target, a separately-trained 2L model (same corpus/tokenizer) as
+draft, speculating over held-out text prompts. Exactness vs plain greedy
+is asserted per prompt (the spec contract).
+
+Expected speedup model at 7B scale: tokens/step = 1 + accepted/rounds;
+with a draft d× cheaper than the target, speedup ≈ tokens_per_step /
+(k/d + verify_cost) — printed from the measured acceptance.
+
+Run (CPU fine — the models are tiny):
+  python scripts/tinylm/spec_accept.py [--k 4] [--prompts 16]
+"""
+
+import argparse
+import os
+import sys
+
+import jax
+
+try:
+    jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
+except Exception:
+    pass
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", default="/root/tinylm/ckpt")
+    ap.add_argument("--draft", default="/root/tinylm/ckpt_2l")
+    ap.add_argument("--data", default="/root/tinylm")
+    ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--prompts", type=int, default=16)
+    ap.add_argument("--prompt-len", type=int, default=64)
+    ap.add_argument("--max-new", type=int, default=64)
+    args = ap.parse_args()
+
+    from pt2tpu.models.hf_loader import load_hf_model
+    from pt2tpu.serve import greedy_generate
+    from pt2tpu.serve.speculative import speculative_generate
+
+    cfg_t, p_t = load_hf_model(args.target, dtype=jnp.float32)
+    cfg_d, p_d = load_hf_model(args.draft, dtype=jnp.float32)
+    held = np.load(os.path.join(args.data, "heldout_tokens.npy"))
+
+    tot_acc = tot_draft = tot_rounds = 0
+    for i in range(args.prompts):
+        start = i * (len(held) - args.prompt_len - 1) // args.prompts
+        prompt = jnp.asarray(
+            held[start : start + args.prompt_len][None], jnp.int32
+        )
+        out, stats = speculative_generate(
+            cfg_t, p_t, cfg_d, p_d, prompt, args.max_new, k=args.k,
+            impl="xla",
+        )
+        want = greedy_generate(
+            cfg_t, p_t, prompt, max_new=args.max_new,
+            max_len=args.prompt_len + args.max_new, impl="xla",
+        )
+        assert np.array_equal(np.asarray(out), np.asarray(want)), i
+        tot_acc += int(stats.accepted)
+        tot_draft += int(stats.drafted)
+        tot_rounds += int(stats.rounds)
+        print(f"prompt {i}: accepted {int(stats.accepted)}/"
+              f"{int(stats.drafted)} in {int(stats.rounds)} rounds",
+              file=sys.stderr)
+
+    rate = tot_acc / max(tot_draft, 1)
+    toks_per_round = args.k * rate + 1.0
+    print(f"acceptance: {tot_acc}/{tot_draft} = {rate:.3f} "
+          f"(k={args.k}, {tot_rounds} rounds, exactness verified)")
+    # Projected batch-1 7B speedup from the measured chip costs: the
+    # acceptance-1 4L-draft row measured 1.486x at k=4, depth ratio 8
+    # (RESULTS round 4), which calibrates per-round overhead
+    # v = (k+1)/1.486 - k/8 = 2.87 target-steps (verify + scheduling).
+    # speedup(r) = (k*r + 1) / (k/depth_ratio + v); break-even r ~ 0.62.
+    v = (args.k + 1) / 1.486 - args.k / 8.0
+    cost = args.k / 8.0 + v
+    print(f"projected 7B speedup (4L-of-32L draft, calibrated overhead "
+          f"{v:.2f} steps): {toks_per_round / cost:.2f}x at the measured "
+          f"acceptance")
+
+
+if __name__ == "__main__":
+    main()

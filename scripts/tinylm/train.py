@@ -40,14 +40,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 from pt2tpu.models import ModelConfig, decoder as dec
 
 
-def tiny_config(vocab: int) -> ModelConfig:
+def tiny_config(vocab: int, n_layers: int = 6) -> ModelConfig:
     # dims are all multiples of 128 so the quantizer's 128-col blocks and
     # the ternary lm_head (vocab % 128 == 0) apply cleanly
     return ModelConfig(
         family="llama2",
         vocab_size=vocab,
         dim=384,
-        n_layers=6,
+        n_layers=n_layers,
         n_heads=6,
         intermediate=1024,
         max_seq_len=512,
@@ -89,13 +89,15 @@ def main():
     ap.add_argument("--warmup", type=int, default=300)
     ap.add_argument("--chunk", type=int, default=200, help="steps per dispatch")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--layers", type=int, default=6,
+                    help="decoder depth (2 for a speculative draft model)")
     args = ap.parse_args()
 
     train_toks = np.load(os.path.join(args.data, "train_tokens.npy"))
     held_toks = np.load(os.path.join(args.data, "heldout_tokens.npy"))
     vocab = 8192
     assert train_toks.max() < vocab
-    cfg = tiny_config(vocab)
+    cfg = tiny_config(vocab, args.layers)
     print(f"backend={jax.default_backend()} corpus={len(train_toks)/1e6:.1f}M "
           f"heldout={len(held_toks)/1e6:.2f}M")
 
