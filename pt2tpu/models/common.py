@@ -156,6 +156,12 @@ def causal_mask(q_len: int, kv_len: int, q_offset: int = 0) -> jax.Array:
     return jnp.where(kv_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
 
 
+# Route single-query cache attention through the Pallas decode kernel on
+# TPU (ops/kernels/pallas_attention.py). Flip off to force the XLA path;
+# bench.py's runtime self-check does so automatically on mismatch.
+DECODE_ATTN_KERNEL = True
+
+
 def attention(
     q: jax.Array,  # (B, Lq, H, hd)
     k: jax.Array,  # (B, Lkv, Hkv, hd) — bf16, or int8 with k_scale given
@@ -191,6 +197,24 @@ def attention(
     B, Lq, H, hd = q.shape
     Hkv = k.shape[2]
     rep = H // Hkv
+
+    # Decode-attention Pallas kernel (RESULTS round 4): the single-query
+    # cache read in the cache's native layout, int8 KV consumed directly
+    # (the XLA int8 path's convert/scale round-trips waste the byte
+    # advantage — ~250 GB/s effective vs ~440 bf16). Falls through to the
+    # XLA path for every shape/feature it does not cover.
+    if DECODE_ATTN_KERNEL and Lq == 1 and mask is None and softcap == 0:
+        from ..ops.kernels import pallas_attention as _pa
+
+        if (
+            jax.default_backend() == "tpu"
+            and kv_valid is not None
+            and _pa.supported(k.shape[1], hd, k_scale is not None)
+        ):
+            s = float(scale) if scale is not None else 1.0 / float(hd) ** 0.5
+            return _pa.decode_attention_pallas(
+                q, k, v, kv_valid, s, k_scale=k_scale, v_scale=v_scale
+            )
     qg = q.reshape(B, Lq, Hkv, rep, hd)
 
     s = jnp.float32(scale) if scale is not None else 1.0 / jnp.sqrt(jnp.float32(hd))

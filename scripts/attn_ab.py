@@ -1,0 +1,84 @@
+"""Interleaved end-to-end A/B of the decode-attention kernel at the
+serving operating point (batch 8, prompt 512): XLA vs Pallas attention x
+bf16 vs int8 KV, inside the real decode program (the cache mutates every
+step, so nothing hoists — unlike isolated chained probes, whose
+loop-invariant KV lets XLA lift the int8 converts out of the loop and
+whose slopes go negative under drift; see attn_kernel_probe.py history).
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--prompt", type=int, default=512)
+    ap.add_argument("--new", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+    assert jax.default_backend() == "tpu"
+
+    from pt2tpu.models import common, get_config
+    from pt2tpu.serve import greedy_generate
+    from pt2tpu.utils.randmodel import random_ternary_params
+
+    cfg = get_config("llama-2-7b")
+    cfg = cfg.with_(max_seq_len=args.prompt + args.new + 16)
+    params = random_ternary_params(cfg, jax.random.PRNGKey(0),
+                                   perm_mode="ssr")
+    prompt = jnp.ones((args.batch, args.prompt), jnp.int32)
+
+    combos = [
+        ("xla    bf16", False, False),
+        ("pallas bf16", True, False),
+        ("xla    int8", False, True),
+        ("pallas int8", True, True),
+    ]
+    short = max(8, args.new // 4)
+    base_len = args.prompt + args.new
+
+    progs = {}
+    outs = {}
+    for ci, (name, kern, kvq) in enumerate(combos):
+        common.DECODE_ATTN_KERNEL = kern
+        for li, n in enumerate((short, args.new)):
+            M = base_len + ci * 2 + li  # unique static arg per program
+            f = (lambda p, n=n, M=M, kvq=kvq: greedy_generate(
+                cfg, params, p, max_new=n, max_len=M, impl="a8",
+                kv_quant=kvq))
+            outs[(ci, li)] = np.asarray(f(prompt))  # compile + warm
+            progs[(ci, li)] = f
+        print(f"compiled {name}", file=sys.stderr)
+    # exactness: kernel vs xla within each kv mode (greedy tokens)
+    for kv in (0, 1):
+        a, b = outs[(0 + 2 * kv, 1)], outs[(1 + 2 * kv, 1)]
+        same = (a == b).mean()
+        print(f"kv_quant={kv}: kernel-vs-xla token agreement {same:.4f}",
+              file=sys.stderr)
+
+    best = {k: float("inf") for k in progs}
+    for r in range(args.rounds):
+        for ci in range(len(combos)):
+            for li in (0, 1):
+                f = progs[(ci, li)]
+                t0 = time.time()
+                np.asarray(f(prompt))
+                best[(ci, li)] = min(best[(ci, li)], time.time() - t0)
+        print(f"round {r} done", file=sys.stderr)
+
+    for ci, (name, _, _) in enumerate(combos):
+        sec = (best[(ci, 1)] - best[(ci, 0)]) / (args.new - short)
+        print(f"{name}: {sec*1e3:7.3f} ms/step  ({args.batch/sec:7.1f} tok/s)")
+
+
+if __name__ == "__main__":
+    main()
