@@ -195,6 +195,35 @@ def main():
           f"{np.asarray(tp).tolist()} vs {np.asarray(tx).tolist()}")
     ok &= same
 
+    # 5. decode-attention kernel (round 4): bf16 + int8-KV vs XLA ref
+    from pt2tpu.models.common import attention
+    from pt2tpu.ops.kernels.pallas_attention import decode_attention_pallas
+
+    rng = np.random.default_rng(3)
+    B, M, H, hd = 2, 256, 4, 128
+    qa = jnp.asarray(rng.normal(size=(B, 1, H, hd)), jnp.bfloat16)
+    kf = rng.normal(size=(B, M, H, hd)).astype(np.float32)
+    vf = rng.normal(size=(B, M, H, hd)).astype(np.float32)
+    ksc = np.abs(kf).max(-1, keepdims=True).astype(np.float32) / 127
+    vsc = np.abs(vf).max(-1, keepdims=True).astype(np.float32) / 127
+    k8 = jnp.asarray(np.clip(np.round(kf / ksc), -127, 127).astype(np.int8))
+    v8 = jnp.asarray(np.clip(np.round(vf / vsc), -127, 127).astype(np.int8))
+    valid = jnp.asarray(np.arange(M)[None] < np.array([100, 256])[:, None])
+    for nm, (kk, vv, kss, vss) in (
+        ("bf16", (jnp.asarray(kf, jnp.bfloat16), jnp.asarray(vf, jnp.bfloat16), None, None)),
+        ("int8", (k8, v8, jnp.asarray(ksc), jnp.asarray(vsc))),
+    ):
+        got = decode_attention_pallas(qa, kk, vv, valid, 0.0883883,
+                                      k_scale=kss, v_scale=vss)
+        import pt2tpu.models.common as _c
+
+        _flag = _c.DECODE_ATTN_KERNEL
+        _c.DECODE_ATTN_KERNEL = False
+        want = attention(qa, kk, vv, None, valid, scale=0.0883883,
+                         k_scale=kss, v_scale=vss)
+        _c.DECODE_ATTN_KERNEL = _flag
+        ok &= check(f"decode-attn kernel {nm}", got, want, 3e-2)
+
     print("SMOKE", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
