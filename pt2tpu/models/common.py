@@ -157,9 +157,14 @@ def causal_mask(q_len: int, kv_len: int, q_offset: int = 0) -> jax.Array:
 
 
 # Route single-query cache attention through the Pallas decode kernel on
-# TPU (ops/kernels/pallas_attention.py). Flip off to force the XLA path;
-# bench.py's runtime self-check does so automatically on mismatch.
-DECODE_ATTN_KERNEL = True
+# TPU (ops/kernels/pallas_attention.py). Default OFF: the corrected
+# interleaved A/B (scripts/attn_ab.py, M aligned to 128 so the kernel
+# actually engages) measures it NEUTRAL vs the XLA path at the batch-8
+# serving point (12.264 vs 12.236 ms/step; token-identical) — XLA's
+# aligned-M attention already streams at rate. The kernel remains tested
+# infrastructure (interpret suite + tpu_smoke gate) for regimes where a
+# fused read pays (e.g. future paged long-context variants).
+DECODE_ATTN_KERNEL = False
 
 
 def attention(

@@ -44,24 +44,35 @@ def main():
         ("pallas int8", True, True),
     ]
     short = max(8, args.new // 4)
-    base_len = args.prompt + args.new
+    # ONE max_len for every combo, chosen kernel-supported (M % 128 == 0):
+    # the first version of this script gave each combo a unique M=576..583
+    # for jit-cache separation — none divisible by 128, so the kernel
+    # NEVER engaged and the deltas measured M-alignment, not the kernel.
+    # Uniqueness now comes from per-combo max_new offsets instead.
+    M = -(-(args.prompt + args.new + 8) // 128) * 128
+    from pt2tpu.ops.kernels import pallas_attention as _pa
+
+    assert _pa.supported(M, cfg.hd, True) and _pa.supported(M, cfg.hd, False)
 
     progs = {}
     outs = {}
+    lens = {}
     for ci, (name, kern, kvq) in enumerate(combos):
         common.DECODE_ATTN_KERNEL = kern
-        for li, n in enumerate((short, args.new)):
-            M = base_len + ci * 2 + li  # unique static arg per program
-            f = (lambda p, n=n, M=M, kvq=kvq: greedy_generate(
+        for li, n0 in enumerate((short, args.new)):
+            n = n0 + ci  # unique static arg per program; M is shared
+            f = (lambda p, n=n, kvq=kvq: greedy_generate(
                 cfg, params, p, max_new=n, max_len=M, impl="a8",
                 kv_quant=kvq))
             outs[(ci, li)] = np.asarray(f(prompt))  # compile + warm
             progs[(ci, li)] = f
+            lens[(ci, li)] = n
         print(f"compiled {name}", file=sys.stderr)
     # exactness: kernel vs xla within each kv mode (greedy tokens)
     for kv in (0, 1):
         a, b = outs[(0 + 2 * kv, 1)], outs[(1 + 2 * kv, 1)]
-        same = (a == b).mean()
+        nmin = min(a.shape[1], b.shape[1])
+        same = (a[:, :nmin] == b[:, :nmin]).mean()
         print(f"kv_quant={kv}: kernel-vs-xla token agreement {same:.4f}",
               file=sys.stderr)
 
@@ -76,7 +87,7 @@ def main():
         print(f"round {r} done", file=sys.stderr)
 
     for ci, (name, _, _) in enumerate(combos):
-        sec = (best[(ci, 1)] - best[(ci, 0)]) / (args.new - short)
+        sec = (best[(ci, 1)] - best[(ci, 0)]) / (lens[(ci, 1)] - lens[(ci, 0)])
         print(f"{name}: {sec*1e3:7.3f} ms/step  ({args.batch/sec:7.1f} tok/s)")
 
 

@@ -126,6 +126,11 @@ def main():
         "xla_impl": {"__impl__": "xla"},
         "a8": {"__impl__": "a8"},
         "kv_int8": {"__kv__": True},
+        # int8 cache with attention ablated: (kv_int8 - kv8_noattn) is the
+        # int8 attention READ cost; (kv8_noattn - no_attn) is the int8
+        # write/carry overhead OUTSIDE attention — localizes the measured
+        # batch-8 int8 regression (RESULTS round 4).
+        "kv8_noattn": {"attention": fake_attention, "__kv__": True},
     }
     if args.variants:
         keep = set(args.variants.split(","))
