@@ -157,14 +157,26 @@ def causal_mask(q_len: int, kv_len: int, q_offset: int = 0) -> jax.Array:
 
 
 # Route single-query cache attention through the Pallas decode kernel on
-# TPU (ops/kernels/pallas_attention.py). Default OFF: the corrected
-# interleaved A/B (scripts/attn_ab.py, M aligned to 128 so the kernel
-# actually engages) measures it NEUTRAL vs the XLA path at the batch-8
-# serving point (12.264 vs 12.236 ms/step; token-identical) — XLA's
-# aligned-M attention already streams at rate. The kernel remains tested
-# infrastructure (interpret suite + tpu_smoke gate) for regimes where a
-# fused read pays (e.g. future paged long-context variants).
+# TPU (ops/kernels/pallas_attention.py). Default OFF for bf16 KV: the
+# corrected interleaved A/B (scripts/attn_ab.py, M aligned to 128 so the
+# kernel actually engages) measures it NEUTRAL vs the XLA path at the
+# batch-8 serving point (12.264 vs 12.236 ms/step; token-identical) —
+# XLA's aligned-M attention already streams at rate. int8 KV routes
+# through the kernel by default (see attention()): its integer-domain
+# scores/probs path beats the XLA int8 read, which wastes the byte
+# advantage on convert/scale traffic.
+#
+# NOTE (advisor r4): this module global is read at TRACE time — flipping
+# it after a caller compiled has no effect on cached programs. Callers
+# that A/B the kernel must pass ``attn_kernel=`` explicitly (it is part
+# of the traced structure) or clear jit caches between flips.
 DECODE_ATTN_KERNEL = False
+
+# int8-KV decode attention routes through the Pallas kernel by default
+# once the integer-domain scores/probs rework lands its on-chip win (the
+# XLA int8 read converts the full cache to bf16 through the VPU and loses
+# ~1 ms/step at M 640, RESULTS.md round 4). Flipped by the round-5 A/B.
+INT8_DECODE_ATTN_KERNEL = True
 
 
 def attention(
@@ -177,6 +189,9 @@ def attention(
     softcap: float = 0.0,  # gemma2 attention logit soft-capping
     k_scale: Optional[jax.Array] = None,  # (B, Lkv, Hkv, 1) f32 int8-KV scales
     v_scale: Optional[jax.Array] = None,
+    attn_kernel: Optional[bool] = None,  # explicit kernel choice (part of
+    # the traced structure — unlike the ambient module flags, which are
+    # only read at trace time); None = module-flag defaults
 ) -> jax.Array:
     """Grouped-query scaled dot-product attention; returns (B, Lq, H, hd).
 
@@ -203,18 +218,33 @@ def attention(
     Hkv = k.shape[2]
     rep = H // Hkv
 
-    # Decode-attention Pallas kernel (RESULTS round 4): the single-query
+    # Decode-attention Pallas kernel (RESULTS round 4/5): the single-query
     # cache read in the cache's native layout, int8 KV consumed directly
-    # (the XLA int8 path's convert/scale round-trips waste the byte
-    # advantage — ~250 GB/s effective vs ~440 bf16). Falls through to the
-    # XLA path for every shape/feature it does not cover.
-    if DECODE_ATTN_KERNEL and Lq == 1 and mask is None and softcap == 0:
+    # in the INTEGER domain — s8xs8 MXU score/context dots, scales folded
+    # into the online softmax (the XLA int8 path's convert/scale
+    # round-trips waste the byte advantage — ~250 GB/s effective vs ~440
+    # bf16). Falls through to the XLA path for every shape/feature it
+    # does not cover. Both scales must be present or absent together
+    # (advisor r4: the kernel prep assumes v_scale whenever k_scale).
+    quant = k_scale is not None
+    use_kernel = (
+        attn_kernel
+        if attn_kernel is not None
+        else (DECODE_ATTN_KERNEL or (quant and INT8_DECODE_ATTN_KERNEL))
+    )
+    if (
+        use_kernel
+        and Lq == 1
+        and mask is None
+        and softcap == 0
+        and (v_scale is not None) == quant
+    ):
         from ..ops.kernels import pallas_attention as _pa
 
         if (
             jax.default_backend() == "tpu"
             and kv_valid is not None
-            and _pa.supported(k.shape[1], hd, k_scale is not None)
+            and _pa.supported(k.shape[1], hd, quant)
         ):
             s = float(scale) if scale is not None else 1.0 / float(hd) ** 0.5
             return _pa.decode_attention_pallas(

@@ -215,13 +215,10 @@ def main():
     ):
         got = decode_attention_pallas(qa, kk, vv, valid, 0.0883883,
                                       k_scale=kss, v_scale=vss)
-        import pt2tpu.models.common as _c
-
-        _flag = _c.DECODE_ATTN_KERNEL
-        _c.DECODE_ATTN_KERNEL = False
+        # attn_kernel=False: the XLA reference must NOT route back into
+        # the kernel (INT8_DECODE_ATTN_KERNEL defaults the int8 path on)
         want = attention(qa, kk, vv, None, valid, scale=0.0883883,
-                         k_scale=kss, v_scale=vss)
-        _c.DECODE_ATTN_KERNEL = _flag
+                         k_scale=kss, v_scale=vss, attn_kernel=False)
         ok &= check(f"decode-attn kernel {nm}", got, want, 3e-2)
 
     print("SMOKE", "PASS" if ok else "FAIL")
