@@ -463,7 +463,10 @@ def sliding_adjust(
             else jnp.ones((B, M), dtype=bool)
         )
         kv_valid = jnp.where(is_global, base, base & win_ok)
-    elif mask is None and kv_valid is not None and L == 1:
+    elif (
+        mask is None and kv_valid is not None and L == 1
+        and cache_pos is not None
+    ):
         # Scalar-pos decode masked via kv_valid only (pipeline stages,
         # parallel/pp.py pp_generate): fold the window into kv_valid.
         kv_pos = jnp.arange(kv_valid.shape[-1])

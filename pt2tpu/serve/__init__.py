@@ -1,4 +1,10 @@
-from .generate import forward_cached, generate, greedy_generate, prefill
+from .generate import (
+    chunked_prefill,
+    forward_cached,
+    generate,
+    greedy_generate,
+    prefill,
+)
 from .sampling import SamplingConfig, sample, sample_per_row
 from .kvcache import KVCache, init_cache
 from .ring import RingCaches, init_ring_caches, ring_generate
@@ -6,6 +12,7 @@ from .engine import load_engine_state, save_engine_state
 from .speculative import SpecStats, speculative_generate
 
 __all__ = [
+    "chunked_prefill",
     "forward_cached",
     "generate",
     "SamplingConfig",

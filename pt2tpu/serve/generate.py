@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..models import decoder as dec
 from .kvcache import KVCache, KVStackedView, init_cache
 
-__all__ = ["forward_cached", "greedy_generate", "prefill"]
+__all__ = ["forward_cached", "greedy_generate", "prefill", "chunked_prefill"]
 
 
 def forward_cached(
@@ -82,9 +82,71 @@ def prefill(
     return forward_cached(cfg, params, prompt, cache, 0, impl)
 
 
+def _auto_prefill_chunk(cfg, B: int, Lp: int, M: int) -> Optional[int]:
+    """Pick a prefill chunk length, or None for whole-prompt prefill.
+
+    Whole-prompt prefill at batch 8 x prompt 1024 fails to COMPILE at 7B:
+    XLA materializes a 23.6 GB f32 layer-stacked gateup buffer
+    (RESULTS.md round 4; r4_chip1.log). Chunking bounds the live
+    activation set to B*chunk rows regardless of prompt length — the
+    standard serving shape (vLLM-style chunked prefill), and the same
+    mechanism the engine uses to bound prefill interference.
+
+    Two bounds: (a) B*chunk <= 4096 token-rows (batch 8 x 512 compiled
+    fine; 8 x 1024 did not), (b) the (B, H, chunk, M) f32 score tensor
+    <= ~1 GB so long-context chunks shrink as the cache grows.
+    """
+    if B * Lp <= 4096:
+        return None
+    c_act = max(128, (4096 // max(1, B)) // 128 * 128)
+    c_scr = max(128, (2**28 // max(1, cfg.n_heads * B * M)) // 128 * 128)
+    c = min(c_act, c_scr)
+    return c if c < Lp else None
+
+
+def chunked_prefill(
+    cfg, params, prompt: jax.Array, cache: KVCache, impl: str = "auto",
+    chunk: int = 512,
+) -> Tuple[jax.Array, KVCache]:
+    """Prefill the prompt in ``chunk``-token slices against the cache.
+
+    Equal-shape full chunks run under one ``lax.scan`` (their logits are
+    dead code — XLA eliminates the unembed); the final chunk (remainder,
+    or the last full chunk) runs inline to produce the next-token logits.
+    Token-exact vs whole-prompt prefill (tests/test_generate.py).
+    """
+    B, Lp = prompt.shape
+    if chunk >= Lp:
+        return forward_cached(cfg, params, prompt, cache, 0, impl)
+    nfull, rem = divmod(Lp, chunk)
+    nscan = nfull - (0 if rem else 1)
+    pos = 0
+    if nscan > 0:
+        chunks = jnp.moveaxis(
+            prompt[:, : nscan * chunk].reshape(B, nscan, chunk), 1, 0
+        )  # (nscan, B, chunk)
+
+        def body(carry, toks):
+            c, p = carry
+            _, c = forward_cached(cfg, params, toks, c, p, impl)
+            return (c, p + chunk), None
+
+        (cache, _), _ = jax.lax.scan(
+            body, (cache, jnp.int32(0)), chunks
+        )
+        pos = nscan * chunk
+    logits, cache = forward_cached(
+        cfg, params, prompt[:, pos:], cache, pos, impl
+    )
+    return logits, cache
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new", "impl", "max_len", "kv_quant", "sampling"),
+    static_argnames=(
+        "cfg", "max_new", "impl", "max_len", "kv_quant", "sampling",
+        "prefill_chunk",
+    ),
 )
 def generate(
     cfg: dec.ModelConfig,
@@ -96,6 +158,7 @@ def generate(
     kv_quant: bool = False,
     sampling: "SamplingConfig" = None,
     key: Optional[jax.Array] = None,
+    prefill_chunk: Optional[int] = None,  # None = auto; 0 = whole-prompt
 ) -> jax.Array:
     """Decode ``max_new`` tokens after ``prompt``; one compiled program.
 
@@ -113,7 +176,17 @@ def generate(
         key = jax.random.PRNGKey(0)
     cache = init_cache(cfg, B, M, quantized=kv_quant)
 
-    logits, cache = prefill(cfg, params, prompt, cache, impl)
+    chunk = (
+        _auto_prefill_chunk(cfg, B, Lp, M)
+        if prefill_chunk is None
+        else (prefill_chunk or None)
+    )
+    if chunk:
+        logits, cache = chunked_prefill(
+            cfg, params, prompt, cache, impl, chunk
+        )
+    else:
+        logits, cache = prefill(cfg, params, prompt, cache, impl)
     key, k0 = jax.random.split(key)
     tok0 = sample(logits, k0, scfg)
 
@@ -133,9 +206,9 @@ def generate(
 
 
 def greedy_generate(cfg, params, prompt, max_new, max_len=None, impl="auto",
-                    kv_quant=False):
+                    kv_quant=False, prefill_chunk=None):
     """Greedy decode — the common special case of :func:`generate`."""
     return generate(
         cfg, params, prompt, max_new, max_len=max_len, impl=impl,
-        kv_quant=kv_quant,
+        kv_quant=kv_quant, prefill_chunk=prefill_chunk,
     )

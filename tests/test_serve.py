@@ -102,3 +102,35 @@ def test_generate_rejects_overflow(model):
     prompt = jnp.zeros((1, 30), jnp.int32)
     with pytest.raises(ValueError):
         greedy_generate(cfg, params, prompt, max_new=8, max_len=32)
+
+
+def test_chunked_prefill_token_exact(model):
+    """Chunked prefill must reproduce whole-prompt generate exactly —
+    including a remainder chunk and a chunk dividing Lp evenly."""
+    cfg, params = model
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (2, 21), 0, cfg.vocab_size)
+    want = np.asarray(
+        greedy_generate(cfg, params, prompt, max_new=5, max_len=32,
+                        prefill_chunk=0)
+    )
+    for chunk in (7, 8, 21):  # 21 = 3*7 exact; 8 leaves remainder 5
+        got = np.asarray(
+            greedy_generate(cfg, params, prompt, max_new=5, max_len=32,
+                            prefill_chunk=chunk)
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_chunked_prefill_kv_quant(model):
+    """Chunking composes with the int8 KV cache (same tokens as unchunked)."""
+    cfg, params = model
+    prompt = jax.random.randint(jax.random.PRNGKey(4), (1, 12), 0, cfg.vocab_size)
+    want = np.asarray(
+        greedy_generate(cfg, params, prompt, max_new=4, max_len=24,
+                        kv_quant=True, prefill_chunk=0)
+    )
+    got = np.asarray(
+        greedy_generate(cfg, params, prompt, max_new=4, max_len=24,
+                        kv_quant=True, prefill_chunk=5)
+    )
+    np.testing.assert_array_equal(got, want)
