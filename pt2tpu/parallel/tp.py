@@ -211,6 +211,14 @@ def tp_layer_forward(
         mask = jax.lax.dynamic_slice_in_dim(
             mask, jax.lax.axis_index(axis) * H, H, axis=0
         )
+    elif (
+        mask is not None and mask.ndim == 4 and mask.shape[1] == cfg.n_heads
+    ):
+        # per-row per-head mask (continuous-batching alibi decode,
+        # serve/engine.py:95-104 shape (B, H, Lw, M)): slice dim 1
+        mask = jax.lax.dynamic_slice_in_dim(
+            mask, jax.lax.axis_index(axis) * H, H, axis=1
+        )
 
     h = dec._norm(cfg, x, lp["ln1_w"], lp.get("ln1_b"))
     qkv = apply_linear(lp["qkv"], h, impl, layer_idx)  # col: this shard's heads
@@ -590,12 +598,12 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
     shard-local and the slot-pool KV cache is head-sharded on 'model'.
     ``params`` must be prepared with prepare_tp_params. Unquantized KV only
     (INT8 pool scales are a per-shard layout question left for the GSPMD
-    path); rope/learned position models.
+    path). All position kinds: rope/learned, and alibi (bloom) via the
+    per-row (B, H, 1, M) bias of serve/engine.py:95-104 with this shard's
+    head slice taken inside tp_layer_forward.
     """
     from ..serve.kvcache import KVCache, KVStackedView
 
-    if cfg.pos not in ("rope", "learned"):
-        raise NotImplementedError("TP engine supports rope/learned positions")
     pspecs = tp_param_specs(params)
     kv_spec = P(None, None, None, "model", None)
     cache_spec = KVCache(k=kv_spec, v=kv_spec, k_scale=None, v_scale=None,
@@ -616,13 +624,23 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
             cos_l = jnp.take(cosl_all, positions, axis=0)[:, None]
             sin_l = jnp.take(sinl_all, positions, axis=0)[:, None]
         kv_valid = jnp.arange(M)[None, :] <= positions[:, None]
+        mask = None
+        if cfg.pos == "alibi":
+            from ..models.common import alibi_slopes
+
+            slopes = alibi_slopes(cfg.n_heads)  # (H,)
+            rel = (
+                jnp.arange(M, dtype=jnp.float32)[None, :]
+                - positions.astype(jnp.float32)[:, None]
+            )  # (B, M)
+            mask = slopes[None, :, None, None] * rel[:, None, None, :]
 
         def body(carry, li):
             h, kvt = carry
             kvl = KVStackedView(*kvt, li)
             lp = dec.layer_view(params_["layers"], li)
             y, kv = tp_layer_forward(
-                cfg, lp, h, cos, sin, None, cache=kvl, cache_pos=positions,
+                cfg, lp, h, cos, sin, mask, cache=kvl, cache_pos=positions,
                 kv_valid=kv_valid, axis="model", chunks=chunks, impl=impl,
                 layer_idx=li, cos_loc=cos_l, sin_loc=sin_l,
             )
