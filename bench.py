@@ -262,8 +262,14 @@ def main():
     cfg = cfg.with_(max_seq_len=max(cfg.max_seq_len, args.prompt + args.new))
     if args.exact:
         args.a8 = False
-    elif on_tpu and args.mode == "decode":
+    elif on_tpu and args.mode == "decode" and not args.a8:
         args.a8 = True  # quality-gated default serving mode (see --a8 help)
+        print(
+            "note: W2A8 activation-quantized kernels auto-applied (TPU "
+            "decode default; +0.3% ppl on the tiny-LM gate) — pass --exact "
+            "for numerically exact bf16 kernels",
+            file=sys.stderr,
+        )
     impl = "a8" if args.a8 else "auto"
 
     # On-chip self-check of the fused gather+matmul kernel (disables it

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--params", default="/root/tinylm/params.npz")
     ap.add_argument("--tokenizer", default="/root/tinylm/tokenizer")
     ap.add_argument("--out", default="/root/tinylm/ckpt")
+    ap.add_argument("--heads", type=int, default=6,
+                    help="n_heads of the trained config (61M model: 5)")
     args = ap.parse_args()
 
     import torch
@@ -34,7 +36,7 @@ def main():
     d = np.load(args.params)
     L, I, D = d["layers/gate/w"].shape
     V = d["embed"].shape[0]
-    n_heads = 6
+    n_heads = args.heads
     cfg = LlamaConfig(
         vocab_size=V,
         hidden_size=D,

@@ -40,16 +40,24 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 from pt2tpu.models import ModelConfig, decoder as dec
 
 
-def tiny_config(vocab: int, n_layers: int = 6) -> ModelConfig:
+def tiny_config(
+    vocab: int,
+    n_layers: int = 6,
+    dim: int = 384,
+    n_heads: int = 6,
+    intermediate: int = 1024,
+) -> ModelConfig:
     # dims are all multiples of 128 so the quantizer's 128-col blocks and
-    # the ternary lm_head (vocab % 128 == 0) apply cleanly
+    # the ternary lm_head (vocab % 128 == 0) apply cleanly. Defaults are
+    # the 17M round-4 model; the round-5 scaling point uses
+    # --dim 640 --heads 5 --inter 1792 --layers 10 (~61M params).
     return ModelConfig(
         family="llama2",
         vocab_size=vocab,
-        dim=384,
+        dim=dim,
         n_layers=n_layers,
-        n_heads=6,
-        intermediate=1024,
+        n_heads=n_heads,
+        intermediate=intermediate,
         max_seq_len=512,
         rope_theta=10000.0,
         norm_eps=1e-5,
@@ -91,13 +99,16 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--layers", type=int, default=6,
                     help="decoder depth (2 for a speculative draft model)")
+    ap.add_argument("--dim", type=int, default=384)
+    ap.add_argument("--heads", type=int, default=6)
+    ap.add_argument("--inter", type=int, default=1024)
     args = ap.parse_args()
 
     train_toks = np.load(os.path.join(args.data, "train_tokens.npy"))
     held_toks = np.load(os.path.join(args.data, "heldout_tokens.npy"))
     vocab = 8192
     assert train_toks.max() < vocab
-    cfg = tiny_config(vocab, args.layers)
+    cfg = tiny_config(vocab, args.layers, args.dim, args.heads, args.inter)
     print(f"backend={jax.default_backend()} corpus={len(train_toks)/1e6:.1f}M "
           f"heldout={len(held_toks)/1e6:.2f}M")
 
