@@ -50,7 +50,8 @@ def _bench_call(fn, *args, reps=3):
     return best
 
 
-def bench_decode(cfg, params, prompt_len, max_new, impl, reps=3, batch=1):
+def bench_decode(cfg, params, prompt_len, max_new, impl, reps=3, batch=1,
+                 kv_quant=False):
     """Per-token decode throughput via two-length slope timing.
 
     Dispatch latency through the device tunnel is large and wildly variable
@@ -63,10 +64,13 @@ def bench_decode(cfg, params, prompt_len, max_new, impl, reps=3, batch=1):
     short = max(8, max_new // 4)
     prompt = jnp.ones((batch, prompt_len), jnp.int32)
     M = prompt_len + max_new
+    M = -(-M // 128) * 128  # 128-align the cache: unaligned M measures
+    # cache-padding luck, not attention (RESULTS.md round-4 post-mortem)
 
     def run(n):
         return lambda p: greedy_generate(
-            cfg, params, p, max_new=n, max_len=M, impl=impl
+            cfg, params, p, max_new=n, max_len=M, impl=impl,
+            kv_quant=kv_quant,
         )
 
     t_short = _bench_call(run(short), prompt, reps=reps)
@@ -179,6 +183,12 @@ def main():
     ap.add_argument(
         "--exact", action="store_true",
         help="force the exact bf16 kernel path (disable the a8 default)",
+    )
+    ap.add_argument(
+        "--kv-quant", action="store_true",
+        help="decode with the INT8 KV cache (long-context serving mode; "
+        "reads stream through the integer-domain Pallas decode-attention "
+        "kernel)",
     )
     ap.add_argument("--no-dense", action="store_true", help="skip dense baseline")
     ap.add_argument(
@@ -321,7 +331,8 @@ def main():
         )
     else:
         tok_s = bench_decode(
-            cfg, tparams, args.prompt, args.new, impl, args.reps, batch=args.batch
+            cfg, tparams, args.prompt, args.new, impl, args.reps,
+            batch=args.batch, kv_quant=args.kv_quant,
         )
     layout = (
         f"artifact {args.artifact}" if args.artifact else f"{args.perms} perms"
@@ -332,9 +343,13 @@ def main():
         file=sys.stderr,
     )
     pct_roofline = None
+    pct_mxu = None
     if args.mode == "decode" and on_tpu:
         # _HBM_STREAM_GBS is this chip's measured rate — meaningless on CPU
         pct_roofline = _pct_of_roofline(tparams, tok_s, args.batch)
+    elif args.mode == "prefill" and on_tpu:
+        pct_mxu = _pct_of_mxu_roofline(cfg, tok_s)
+        print(f"prefill MFU: {pct_mxu}% of bf16 MXU peak", file=sys.stderr)
     del tparams
     # Release the ternary model + compiled programs before the dense probes
     # (otherwise the 7B dense baseline OOMs next to retained state).
@@ -373,8 +388,12 @@ def main():
         "vs_baseline": round(vs, 3) if vs else None,
         "kernel": "w2a8" if args.a8 else "exact-bf16",
     }
+    if args.kv_quant:
+        rec["kv"] = "int8"
     if pct_roofline is not None:
         rec["pct_weight_roofline"] = pct_roofline
+    if pct_mxu is not None:
+        rec["pct_mxu_roofline"] = pct_mxu
     print(json.dumps(rec))
 
 
@@ -382,6 +401,35 @@ def main():
 # microbenchmarks): the per-token weight-read roofline divides this by the
 # bytes one decode token must stream.
 _HBM_STREAM_GBS = 770.0
+
+# bf16 MXU peak of this chip (TPU v5e: 197 TFLOP/s bf16) — the prefill
+# roofline denominator (prefill is compute-bound at batch*L >> 1).
+_MXU_PEAK_FLOPS = 197e12
+
+
+def _prefill_flops_per_tok(cfg) -> float:
+    """Projection MACs*2 per token (attention score/context FLOPs excluded
+    — they are O(L) per token and regime-dependent; this is the classic
+    2*N_active approximation)."""
+    D, I = cfg.dim, cfg.intermediate
+    H, Hkv, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
+    per_layer = D * H * hd + 2 * D * Hkv * hd + H * hd * D
+    if cfg.is_moe:
+        per_layer += (
+            3 * D * cfg.expert_inter * cfg.experts_per_token
+            + D * cfg.n_experts
+        )
+    elif cfg.gated_mlp:
+        per_layer += 3 * D * I
+    else:
+        per_layer += 2 * D * I
+    return 2.0 * (cfg.n_layers * per_layer + cfg.vocab_size * D)
+
+
+def _pct_of_mxu_roofline(cfg, tok_s) -> float:
+    return round(
+        100.0 * tok_s * _prefill_flops_per_tok(cfg) / _MXU_PEAK_FLOPS, 1
+    )
 
 
 def _pct_of_roofline(tparams, tok_s, batch):

@@ -47,7 +47,18 @@ def forward_cached(
     if cosl_all is not None:
         cos_l = jax.lax.dynamic_slice_in_dim(cosl_all, pos0, L)
         sin_l = jax.lax.dynamic_slice_in_dim(sinl_all, pos0, L)
-    mask = dec.build_mask(cfg, L, M, q_offset=pos0)
+    kv_valid = None
+    mask = None
+    if L == 1 and cfg.pos != "alibi":
+        # Lockstep decode: causality over the cache is a per-row validity
+        # interval, not an additive mask — the representation the Pallas
+        # decode-attention kernel consumes (models/common.attention routes
+        # on mask is None), and equivalent under the XLA path's where().
+        kv_valid = jnp.broadcast_to(
+            jnp.arange(M)[None, :] <= pos0, (B, M)
+        )
+    else:
+        mask = dec.build_mask(cfg, L, M, q_offset=pos0)
 
     # KV arrays thread through the scan CARRY and are updated in place at
     # the layer index (see kvcache.KVStackedView — passing per-layer views
@@ -59,7 +70,7 @@ def forward_cached(
         lp = dec.layer_view(params["layers"], li)
         y, io = dec.layer_forward(
             cfg, lp, x, cos, sin, mask, cache=kvl, cache_pos=pos0, impl=impl,
-            layer_idx=li, cos_loc=cos_l, sin_loc=sin_l,
+            kv_valid=kv_valid, layer_idx=li, cos_loc=cos_l, sin_loc=sin_l,
         )
         return (y, io.kv.carry()), None
 

@@ -158,6 +158,13 @@ def main():
     )
     ap.add_argument("--kv-quant", action="store_true")
     ap.add_argument("--a8", action="store_true", default=None)
+    ap.add_argument(
+        "--draft-layers", type=int, default=0,
+        help="speculative engine: draft depth (same-seed random params — "
+        "the batched-verify economics probe of VERDICT r4 item 7; real "
+        "acceptance comes from the tiny-LM pair)",
+    )
+    ap.add_argument("--spec-k", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -186,9 +193,16 @@ def main():
         _tm.verify_fused_mlp()
         _tm.verify_igather_fused()
 
+    draft = None
+    if args.draft_layers:
+        cfg_d = cfg.with_(n_layers=args.draft_layers)
+        params_d = random_ternary_params(
+            cfg_d, jax.random.PRNGKey(0), perm_mode="ssr"
+        )
+        draft = (cfg_d, params_d)
     eng = ServeEngine(
         cfg, params, max_batch=args.max_batch, max_len=args.max_len,
-        kv_quant=args.kv_quant, impl=impl,
+        kv_quant=args.kv_quant, impl=impl, draft=draft, spec_k=args.spec_k,
     )
     # warmup: one request per bucket, drained — compiles excluded
     t0 = time.time()
@@ -199,6 +213,8 @@ def main():
     eng.run()
     print(f"warmup (compiles): {time.time()-t0:.1f}s", file=sys.stderr)
     eng.stats.update(steps=0, tokens=0, admitted=0, completed=0)
+    if draft is not None:
+        eng.stats_spec.update(rounds=0, drafted=0, accepted=0)
     eng._t0 = time.time()
 
     reqs = make_requests(args.n, args.new, cfg.vocab_size, args.max_len)
@@ -208,7 +224,10 @@ def main():
         "max_batch": args.max_batch, "max_len": args.max_len,
         "kv_quant": args.kv_quant, "load_rps": args.load, "new": args.new,
         "prompt_mix": prompt_mix(args.max_len, args.new),
+        "draft_layers": args.draft_layers, "spec_k": args.spec_k,
     }
+    if draft is not None:
+        out["spec_stats"] = dict(eng.stats_spec)
     print(json.dumps(out))
 
 

@@ -37,13 +37,24 @@ def make_kernel(variant: str, bps: int):
         xs = x_ref[:].astype(cdt)
         acc = jnp.zeros_like(o_ref)
 
-        if variant != "no_offset":
+        if variant not in ("no_offset", "dma_only"):
             row_blk = jax.lax.broadcasted_iota(jnp.int32, (bps * BS, bps), 0) // BS
             col_blk = jax.lax.broadcasted_iota(jnp.int32, (bps * BS, bps), 1)
             ones_blocks = (row_blk == col_blk).astype(cdt)
             smat = jnp.dot(xs, ones_blocks, preferred_element_type=jnp.float32)
             offset = (mu_ref[:] - alpha_ref[:]).astype(cdt)
             acc += jnp.dot(smat.astype(cdt), offset, preferred_element_type=jnp.float32)
+
+        if variant == "dma_only":
+            # WRONG MATH — floor row (a): every operand block still streams
+            # (the pipeline DMAs per in_spec regardless of use); compute is
+            # one broadcast-add per block so nothing is elided.
+            for p in range(bps):
+                acc += packed_ref[p * rpb : p * rpb + 1, :].astype(jnp.float32)
+            acc += alpha_ref[0:1, :].astype(jnp.float32)
+            acc += mu_ref[0:1, :].astype(jnp.float32)
+            o_ref[:] += acc
+            return
 
         if variant in ("swpipe", "swpipe_nomask"):
             u_prev = None
@@ -88,6 +99,25 @@ def make_kernel(variant: str, bps: int):
                 d = jnp.dot(
                     xb[:, :BS4], u, preferred_element_type=jnp.float32
                 ) * 4.0
+            elif variant == "unpack_nodot":
+                # WRONG MATH — floor row (b): the FULL baseline unpack chain
+                # (widen, 4x shift/mask, concat, cast) consumed by a sublane
+                # reduction instead of the MXU dot. The reduction itself is
+                # ~1 extra pass over the codes, so this row slightly
+                # OVERSTATES unpack-without-dot; (c)-(b) understates the dot.
+                pk32 = pk.astype(jnp.int32)
+                planes = [((pk32 >> (2 * q)) & 3) for q in range(4)]
+                u = jnp.concatenate(planes, axis=0).astype(cdt)
+                d = jnp.sum(u, axis=0, keepdims=True).astype(jnp.float32)
+            elif variant == "no_unpack_a8":
+                # WRONG MATH — a8 floor: DMA + plane-copy concat + s8 MXU
+                # dots, no shifts/masks/casts (the a8 pipeline's analog of
+                # no_unpack: what W2A8 would cost if codes streamed ready).
+                u8 = jnp.concatenate([pk] * 4, axis=0)  # (BS, tn) int8
+                xq = (xb * 16.0).astype(jnp.int8)
+                d = jnp.dot(
+                    xq, u8, preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * (1.0 / 16.0)
             elif variant == "quarter_dots":
                 pk32 = pk.astype(jnp.int32)
                 d = jnp.zeros_like(o_ref)
@@ -504,6 +534,9 @@ def main():
         ("swpipe_nomask", packed),
         ("int8_dot", packed),
         ("no_unpack", packed),
+        ("dma_only", packed),
+        ("unpack_nodot", packed),
+        ("no_unpack_a8", packed),
     ]
     calls = {
         v: (lambda c, pk=pk, v=v: run_variant(c, pk, alpha, mu, variant=v))
