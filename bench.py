@@ -344,9 +344,25 @@ def main():
     )
     pct_roofline = None
     pct_mxu = None
+    floor_tok_s = None
     if args.mode == "decode" and on_tpu:
         # _HBM_STREAM_GBS is this chip's measured rate — meaningless on CPU
         pct_roofline = _pct_of_roofline(tparams, tok_s, args.batch)
+        # Structural floor (round 5): the SAME decode program with the
+        # wrong-math no-unpack kernels (impl="floor8") — the ceiling any
+        # unpack formulation could reach on THIS machine state. Same-
+        # process slope, so the ratio is drift-immune (scripts/floor_ab.py
+        # methodology; chained kernel microbenches drift 2.4x between runs
+        # and overstate attainable rates).
+        try:
+            floor_tok_s = bench_decode(
+                cfg, tparams, args.prompt, args.new, "floor8",
+                max(1, args.reps - 1), batch=args.batch,
+                kv_quant=args.kv_quant,
+            )
+        except Exception as e:
+            print(f"floor probe failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
     elif args.mode == "prefill" and on_tpu:
         pct_mxu = _pct_of_mxu_roofline(cfg, tok_s)
         print(f"prefill MFU: {pct_mxu}% of bf16 MXU peak", file=sys.stderr)
@@ -392,6 +408,9 @@ def main():
         rec["kv"] = "int8"
     if pct_roofline is not None:
         rec["pct_weight_roofline"] = pct_roofline
+    if floor_tok_s:
+        rec["floor_tok_s"] = round(floor_tok_s, 2)
+        rec["pct_of_floor"] = round(100.0 * tok_s / floor_tok_s, 1)
     if pct_mxu is not None:
         rec["pct_mxu_roofline"] = pct_mxu
     print(json.dumps(rec))

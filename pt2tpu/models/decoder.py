@@ -740,7 +740,7 @@ def layer_forward(
             # One pallas call for the whole MLP: SSR gather + gateup +
             # act*mul + down (ops/kernels/pallas_ternary.ternary_mlp_pallas).
             mo = fused_mlp_apply(
-                lp["gateup"], lp["down"], h, cfg.act, layer_idx
+                lp["gateup"], lp["down"], h, cfg.act, layer_idx, impl=impl
             )
             if cfg.sandwich_norm:
                 mo = _norm(cfg, mo, lp["post_mlp_w"], None)

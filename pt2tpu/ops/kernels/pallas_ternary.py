@@ -114,7 +114,14 @@ def _accumulate_step(xs_src, packed_ref, alpha_ref, mu_ref,
     """Shared per-grid-step partial sum: one (B, bps*bs) x-tile against
     bps packed scale blocks. ``xs_src`` is a jnp array (bf16/f32).
     Returns the (B, tile_n) f32 contribution; the caller owns accumulation
-    (VMEM output tile or scratch accumulator)."""
+    (VMEM output tile or scratch accumulator).
+
+    ``a8`` is False (bf16), True (W2A8), or the WRONG-MATH sentinel
+    ``"floor"``: skip the unpack entirely and dot the raw packed planes
+    (replicated to full depth) on the s8 MXU path — the end-to-end
+    DMA+dots floor probe (impl="floor8"). Same DMA volume, same call/grid
+    structure, zero unpack VPU work; outputs are garbage by design."""
+    floor = a8 == "floor"
     bs4 = bs // 4
     cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     B = xs_src.shape[0]
@@ -177,6 +184,15 @@ def _accumulate_step(xs_src, packed_ref, alpha_ref, mu_ref,
         telescope = force_telescope and not a8
     for p in range(bps):  # static unroll; all slices compile-time aligned
         xb = xs[:, p * bs : (p + 1) * bs]  # (B, bs)
+        if floor:
+            u8 = jnp.concatenate(
+                [packed_ref[p * bs4 : (p + 1) * bs4, :]] * 4, axis=0
+            )  # (bs, TN) int8 raw planes — no widen/shift/mask/cast
+            d = jnp.dot(
+                xb, u8, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+            acc += d * alpha_ref[p : p + 1, :].astype(jnp.float32)
+            continue
         if telescope:
             pk = pltpu.bitcast(
                 packed_ref[p * bs4 : (p + 1) * bs4, :], jnp.uint8
@@ -946,7 +962,7 @@ def _gather_iota_prologue(x_ref, perm_ref, xg_ref):
 
 
 def _make_mlp_kernel(nbg: int, bs: int, bps_d: int, act: str,
-                     has_gather: bool, gated: bool):
+                     has_gather: bool, gated: bool, a8mode=False):
     act_fn = _act_fn(act)
     cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
@@ -974,10 +990,10 @@ def _make_mlp_kernel(nbg: int, bs: int, bps_d: int, act: str,
 
         xg = xg_ref[:]
         gate = _accumulate_step(xg, gug_ref, gag_ref, gmg_ref,
-                                nbg, bs, False, None)
+                                nbg, bs, a8mode, None)
         if gated:
             up = _accumulate_step(xg, guu_ref, gau_ref, gmu_ref,
-                                  nbg, bs, False, None)
+                                  nbg, bs, a8mode, None)
             mid = act_fn(gate) * up
         else:
             mid = act_fn(gate)
@@ -999,7 +1015,7 @@ def _make_mlp_kernel(nbg: int, bs: int, bps_d: int, act: str,
             dna = dna[:bps_d].astype(dna_ref.dtype)  # one-hot pick: exact
             dnm = dnm[:bps_d].astype(dnm_ref.dtype)
         o_ref[:] += _accumulate_step(mid.astype(cdt), dnp_ref, dna,
-                                     dnm, bps_d, bs, False, None)
+                                     dnm, bps_d, bs, a8mode, None)
 
     return _kernel
 
@@ -1083,7 +1099,9 @@ def _mlp_common(x, gu_packed, gu_alpha, dn_packed, dn_alpha,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "act", "intermediate", "blocks_per_step"),
+    static_argnames=(
+        "block_size", "act", "intermediate", "blocks_per_step", "a8"
+    ),
 )
 def ternary_mlp_pallas(
     x: jax.Array,  # (B, m) UN-gathered post-norm hidden
@@ -1099,6 +1117,8 @@ def ternary_mlp_pallas(
     act: str = "silu",
     intermediate: int,
     blocks_per_step: int = 0,  # 0 = auto
+    a8=False,  # only "floor" is meaningful here (floor8 probe); the
+    # production W2A8 path keeps the MLP megakernel's bf16 telescoped dots
 ) -> jax.Array:
     """Whole ternary MLP in one pallas call: returns (B, n) f32."""
     gated, Kg, n, nbg, half, nv = _mlp_common(
@@ -1174,7 +1194,7 @@ def ternary_mlp_pallas(
     args.append(dn_mu)
 
     out = pl.pallas_call(
-        _make_mlp_kernel(nbg, bs, bps_d, act, has_gather, gated),
+        _make_mlp_kernel(nbg, bs, bps_d, act, has_gather, gated, a8),
         grid=(Bp // tb, nv // bps_d),
         in_specs=specs,
         out_specs=pl.BlockSpec((tb, n), lambda b, k: (b, 0),
@@ -1193,7 +1213,9 @@ def ternary_mlp_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "act", "intermediate", "blocks_per_step"),
+    static_argnames=(
+        "block_size", "act", "intermediate", "blocks_per_step", "a8"
+    ),
 )
 def ternary_mlp_pallas_stacked(
     x: jax.Array,  # (B, m)
@@ -1210,6 +1232,7 @@ def ternary_mlp_pallas_stacked(
     act: str = "silu",
     intermediate: int,
     blocks_per_step: int = 0,
+    a8=False,  # "floor" = floor8 probe (see ternary_mlp_pallas)
 ) -> jax.Array:
     """Scan-over-layers fused MLP: scalar-prefetched layer index, whole
     stacked arrays (ternary_matmul_pallas_stacked rationale)."""
@@ -1289,7 +1312,7 @@ def ternary_mlp_pallas_stacked(
         memory_space=pltpu.VMEM))
     args.append(dn_mu)
 
-    inner = _make_mlp_kernel(nbg, bs, bps_d, act, has_gather, gated)
+    inner = _make_mlp_kernel(nbg, bs, bps_d, act, has_gather, gated, a8)
     n_in = len(args)
 
     def kernel_wrap(idx_ref, *refs):

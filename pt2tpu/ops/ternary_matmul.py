@@ -402,14 +402,18 @@ def fused_mlp_apply(
     act: str,
     layer_idx=None,
     out_dtype=None,
+    impl: str = "auto",
 ) -> jax.Array:
     """One-call MLP: (..., m) -> (..., n). Caller must have checked
-    :func:`fused_mlp_ok`."""
+    :func:`fused_mlp_ok`. ``impl`` only distinguishes the floor8 probe —
+    the production W2A8 mode keeps the megakernel's bf16 telescoped dots
+    (activation re-quantization between gateup and down would compound)."""
     from .kernels.pallas_ternary import (
         ternary_mlp_pallas,
         ternary_mlp_pallas_stacked,
     )
 
+    a8 = "floor" if impl == "floor8" else False
     out_dtype = out_dtype or x.dtype
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
@@ -420,14 +424,14 @@ def fused_mlp_apply(
         out = ternary_mlp_pallas_stacked(
             x2, perm, gu.packed, gu.alpha, gu.mu,
             dn.packed, dn.alpha, dn.mu, layer_idx,
-            act=act, intermediate=I,
+            act=act, intermediate=I, a8=a8,
         )
     else:
         perm = gu.perm if has_gather else None
         out = ternary_mlp_pallas(
             x2, perm, gu.packed, gu.alpha, gu.mu,
             dn.packed, dn.alpha, dn.mu,
-            act=act, intermediate=I,
+            act=act, intermediate=I, a8=a8,
         )
     return out.astype(out_dtype).reshape(*lead, dn.out_features)
 
@@ -561,6 +565,14 @@ def ternary_matmul_xla_a8(
     return ternary_matmul_xla(xq, packed, alpha, mu, block_size=block_size) * sx
 
 
+
+def _a8_flag(impl: str):
+    """Kernel a8 mode from the impl string: True (W2A8), False (bf16), or
+    the WRONG-MATH "floor" sentinel (impl="floor8": skip the in-kernel
+    unpack and dot the raw packed planes — the end-to-end DMA+dots floor
+    probe of scripts/floor_ab.py; outputs are garbage by design)."""
+    return "floor" if impl == "floor8" else impl == "a8"
+
 def ternary_linear_apply_stacked(
     p: PackedTernaryLinear,
     x: jax.Array,
@@ -585,7 +597,7 @@ def ternary_linear_apply_stacked(
     on_tpu = jax.default_backend() == "tpu"
     # "a8" forces the pallas kernel only on TPU; elsewhere it routes to the
     # XLA emulation below (same quantization semantics, no pallas CPU path).
-    use_pallas = impl == "pallas" or (impl == "a8" and on_tpu) or (
+    use_pallas = impl == "pallas" or (impl in ("a8", "floor8") and on_tpu) or (
         impl == "auto" and on_tpu and bs % 128 == 0 and n % 128 == 0
     )
     if (use_pallas and p.gather is not None and x2.shape[0] <= 64
@@ -602,7 +614,7 @@ def ternary_linear_apply_stacked(
 
             out = ternary_matmul_pallas_igathered_stacked(
                 x2, p.perm, p.packed, p.alpha, p.mu, layer_idx,
-                block_size=bs, a8=impl == "a8",
+                block_size=bs, a8=_a8_flag(impl),
             )
             if p.bias is not None:
                 out = out + p.bias[layer_idx].astype(out.dtype)
@@ -614,7 +626,7 @@ def ternary_linear_apply_stacked(
 
             out = ternary_matmul_pallas_gathered_stacked(
                 x2, p.gather.packed, p.packed, p.alpha, p.mu, layer_idx,
-                block_size=bs, a8=impl == "a8",
+                block_size=bs, a8=_a8_flag(impl),
             )
             if p.bias is not None:
                 out = out + p.bias[layer_idx].astype(out.dtype)
@@ -625,7 +637,7 @@ def ternary_linear_apply_stacked(
 
         out = ternary_matmul_pallas_stacked(
             xk, p.packed, p.alpha, p.mu, layer_idx, block_size=bs,
-            a8=impl == "a8",
+            a8=_a8_flag(impl),
         )
     else:
         xla_fn = ternary_matmul_xla_a8 if impl == "a8" else ternary_matmul_xla
@@ -658,7 +670,7 @@ def ternary_linear_apply(
 
     bs = p.block_size
     on_tpu = jax.default_backend() == "tpu"
-    use_pallas = impl == "pallas" or (impl == "a8" and on_tpu) or (
+    use_pallas = impl == "pallas" or (impl in ("a8", "floor8") and on_tpu) or (
         impl == "auto"
         and on_tpu
         and bs % 128 == 0
@@ -674,7 +686,7 @@ def ternary_linear_apply(
 
             out = ternary_matmul_pallas_igathered(
                 x2, p.perm, p.packed, p.alpha, p.mu, block_size=bs,
-                a8=impl == "a8",
+                a8=_a8_flag(impl),
             )
             if p.bias is not None:
                 out = out + p.bias.astype(out.dtype)
@@ -684,7 +696,7 @@ def ternary_linear_apply(
 
             out = ternary_matmul_pallas_gathered(
                 x2, p.gather.packed, p.packed, p.alpha, p.mu, block_size=bs,
-                a8=impl == "a8",
+                a8=_a8_flag(impl),
             )
             if p.bias is not None:
                 out = out + p.bias.astype(out.dtype)
@@ -694,7 +706,7 @@ def ternary_linear_apply(
         from .kernels.pallas_ternary import ternary_matmul_pallas
 
         out = ternary_matmul_pallas(
-            xk, p.packed, p.alpha, p.mu, block_size=bs, a8=impl == "a8"
+            xk, p.packed, p.alpha, p.mu, block_size=bs, a8=_a8_flag(impl)
         )
     elif impl == "a8":
         out = ternary_matmul_xla_a8(xk, p.packed, p.alpha, p.mu, block_size=bs)

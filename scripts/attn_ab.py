@@ -58,7 +58,10 @@ def main():
     outs = {}
     lens = {}
     for ci, (name, kern, kvq) in enumerate(combos):
+        # both ambient flags: int8 routes through INT8_DECODE_ATTN_KERNEL
+        # (default ON since round 5) — the "xla int8" combo must disable it
         common.DECODE_ATTN_KERNEL = kern
+        common.INT8_DECODE_ATTN_KERNEL = kern
         for li, n0 in enumerate((short, args.new)):
             n = n0 + ci  # unique static arg per program; M is shared
             f = (lambda p, n=n, kvq=kvq: greedy_generate(

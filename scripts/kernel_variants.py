@@ -537,6 +537,8 @@ def main():
         ("dma_only", packed),
         ("unpack_nodot", packed),
         ("no_unpack_a8", packed),
+        ("nomask_a8", packed),
+        ("nibble_a8", packed),
     ]
     calls = {
         v: (lambda c, pk=pk, v=v: run_variant(c, pk, alpha, mu, variant=v))
