@@ -172,11 +172,23 @@ def causal_mask(q_len: int, kv_len: int, q_offset: int = 0) -> jax.Array:
 # of the traced structure) or clear jit caches between flips.
 DECODE_ATTN_KERNEL = False
 
-# int8-KV decode attention routes through the Pallas kernel by default
-# once the integer-domain scores/probs rework lands its on-chip win (the
-# XLA int8 read converts the full cache to bf16 through the VPU and loses
-# ~1 ms/step at M 640, RESULTS.md round 4). Flipped by the round-5 A/B.
-INT8_DECODE_ATTN_KERNEL = True
+# int8-KV decode attention: route through the Pallas kernel (False since
+# the round-5 A/B: the kernel's per-tile costs and block-diagonal MXU
+# waste leave it 20-30% behind even the convert-based XLA path at long
+# context — RESULTS r5). The integer-domain XLA path below is the
+# production int8 route instead.
+INT8_DECODE_ATTN_KERNEL = False
+
+# Integer-domain int8-KV attention IN XLA: q absmax-quantized to int8 so
+# the score einsum runs s8 x s8 -> s32, probs absmax-int8 for the context
+# einsum (SageAttention-style P-int8, arXiv:2410.02367) — no bf16 cache
+# convert in the graph. Default OFF: measured on-chip (round 5,
+# scripts/attn_long_ab.py) XLA lowers these integer einsums far off the
+# MXU fast path (B8/ctx1024: 44.1 ms/step vs 16.2 for the convert-based
+# math; B8/ctx4096: 143.7 vs 34.7) — the convert-based XLA path is the
+# production int8 route on this compiler generation. The path stays
+# tested (tests/test_serve.py) for compilers where s8 einsums map well.
+INT8_INTEGER_DOMAIN = False
 
 
 def attention(
@@ -253,10 +265,30 @@ def attention(
     qg = q.reshape(B, Lq, Hkv, rep, hd)
 
     s = jnp.float32(scale) if scale is not None else 1.0 / jnp.sqrt(jnp.float32(hd))
-    scores = jnp.einsum(
-        "blhrd,bmhd->bhrlm", qg, k.astype(q.dtype),
-        preferred_element_type=jnp.float32,
-    ) * s
+    int_domain = (
+        k_scale is not None
+        and INT8_INTEGER_DOMAIN
+        and k.dtype == jnp.int8
+    )
+    if int_domain:
+        # integer-domain scores: q absmax-int8 per (row, pos, head), one
+        # s8 x s8 -> s32 MXU einsum — the int8 cache is NEVER converted
+        qf32 = qg.astype(jnp.float32)
+        qs = jnp.max(jnp.abs(qf32), axis=-1, keepdims=True) / 127.0
+        qs = jnp.maximum(qs, 1e-20)  # all-zero q head -> uniform attn
+        q8 = jnp.clip(jnp.round(qf32 / qs), -127, 127).astype(jnp.int8)
+        s32 = jnp.einsum(
+            "blhrd,bmhd->bhrlm", q8, k, preferred_element_type=jnp.int32
+        )
+        scores = (
+            s32.astype(jnp.float32)
+            * (s * jnp.transpose(qs, (0, 2, 3, 1, 4)))  # (B,Hkv,rep,Lq,1)
+        )
+    else:
+        scores = jnp.einsum(
+            "blhrd,bmhd->bhrlm", qg, k.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * s
     if k_scale is not None:
         # (B, M, Hkv, 1) -> (B, Hkv, 1, 1, M) applied to f32 scores.
         scores = scores * jnp.transpose(k_scale, (0, 2, 3, 1))[:, :, :, None, :]
@@ -278,6 +310,17 @@ def attention(
     probs = jax.nn.softmax(scores, axis=-1)
     if v_scale is not None:
         probs = probs * jnp.transpose(v_scale, (0, 2, 3, 1))[:, :, :, None, :]
+    if int_domain and v.dtype == jnp.int8:
+        # integer-domain context: scale-folded probs absmax-int8 per
+        # (row, head, position) — s8 x s8 -> s32 einsum, no v convert
+        ps = jnp.max(probs, axis=-1, keepdims=True) / 127.0
+        ps = jnp.maximum(ps, 1e-30)
+        p8 = jnp.round(probs / ps).astype(jnp.int8)  # in [0, 127]
+        c32 = jnp.einsum(
+            "bhrlm,bmhd->blhrd", p8, v, preferred_element_type=jnp.int32
+        )
+        out = c32.astype(jnp.float32) * jnp.transpose(ps, (0, 3, 1, 2, 4))
+        return out.reshape(B, Lq, H, hd).astype(q.dtype)
     probs = probs.astype(q.dtype)
     out = jnp.einsum("bhrlm,bmhd->blhrd", probs, v.astype(q.dtype))
     return out.reshape(B, Lq, H, hd)

@@ -165,6 +165,70 @@ def _kernel_quant(q_ref, k_ref, v_ref, kaux_ref, vaux_ref, selq_ref,
         _finalize(o_ref, m_run, l_run, acc)
 
 
+def _kernel_quant_t(q_ref, k_ref, v_ref, kaux_ref, vaux_ref, selq_ref,
+                    sel_ref, o_ref, m_run, l_run, acc, *, n_tiles):
+    """Transposed-score quant kernel: scores live (H, bm) — M on LANES.
+
+    The (bm, H) layout (``_kernel_quant``) leaves H of 128 output lanes
+    active and gives the score dot zero operand reuse, so at batch 1 the
+    MXU ingests the k tile at ~120 GB/s and the kernel is compute-bound
+    (measured: int8 decode SLOWER than bf16 at batch 1 / ctx 4k, round
+    5). Here both big dots put M (bm) or Khd on the output lanes with the
+    k/v tile reused across all H output rows; the flash max/denom become
+    (H, 1) LANE reductions over small (H, bm) tiles — cheap at these
+    sizes. Aux scales stream TRANSPOSED (B, Hkv, M) so the head expansion
+    stays a tiny MXU dot."""
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        m_run[...] = jnp.full_like(m_run, _NEG)
+        l_run[...] = jnp.zeros_like(l_run)
+        acc[...] = jnp.zeros_like(acc)
+
+    k2 = k_ref[0]  # (bm, Khd) int8
+    qbdT = q_ref[0]  # (H, Khd) int8 block-diagonal (transposed layout)
+    s32 = jax.lax.dot_general(
+        qbdT, k2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (H, bm)
+    ksT = jax.lax.dot_general(
+        selq_ref[0], kaux_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H, Hkv) @ (Hkv, bm) -> (H, bm); 0 marks invalid slots
+    ok = ksT > 0.0
+    s = jnp.where(ok, s32.astype(jnp.float32) * ksT, _NEG)
+
+    m_prev = m_run[...]  # (H, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.where(ok, jnp.exp(s - m_new), 0.0)  # (H, bm)
+    corr = jnp.exp(m_prev - m_new)  # (H, 1)
+    l_run[...] = l_run[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+    m_run[...] = m_new
+
+    vsT = jax.lax.dot_general(
+        sel_ref[...], vaux_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H, bm)
+    pv = p * vsT
+    r = jax.lax.dot_general(
+        pv.astype(jnp.bfloat16), v_ref[0].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H, bm) @ (bm, Khd) -> (H, Khd)
+    H, Khd = r.shape
+    hd = Khd // sel_ref.shape[1]
+    r3 = r.reshape(H, sel_ref.shape[1], hd)
+    out = jnp.sum(r3 * sel_ref[...][:, :, None], axis=1)  # (H, hd)
+    acc[...] = acc[...] * corr + out
+
+    @pl.when(ti == n_tiles - 1)
+    def _fin():
+        o_ref[0] = (acc[...] / jnp.maximum(l_run[...], 1e-30)).astype(
+            o_ref.dtype
+        )
+
+
 def _block_m(M: int, quant: bool) -> int:
     for bm in (512 if quant else 256, 256, 128):
         if M % bm == 0:
@@ -174,6 +238,12 @@ def _block_m(M: int, quant: bool) -> int:
 
 def supported(M: int, hd: int, quant: bool) -> bool:
     return hd % 128 == 0 and _block_m(M, quant) > 0
+
+
+# int8-path score layout: "hb" = transposed scores (H, bm), M on lanes —
+# k/v operands reused across head rows (batch-1 long-context fix, round
+# 5); "bh" = round-4 layout (bm, H), kept for A/B.
+QUANT_SCORE_LAYOUT = "hb"
 
 
 def decode_attention_pallas(
@@ -213,15 +283,47 @@ def decode_attention_pallas(
         qs = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0  # (B,H,1)
         qs = jnp.maximum(qs, 1e-20)  # all-zero q head -> uniform attn
         q8 = jnp.clip(jnp.round(qf / qs), -127, 127)
-        qbd = jnp.einsum("bhd,hi->bidh", q8, onehot).reshape(
-            B, Hkv * hd, H
-        ).astype(jnp.int8)
         # combined k-side per-position operand: scale * (qs*attn_scale
         # folded via selq); 0 marks invalid slots
         kaux = jnp.where(
             kv_valid[:, :, None], k_scale[..., 0].astype(jnp.float32), 0.0
         )  # (B, M, Hkv)
         vaux = v_scale[..., 0].astype(jnp.float32)  # (B, M, Hkv)
+        if QUANT_SCORE_LAYOUT == "hb":
+            qbdT = jnp.einsum("bhd,hi->bhid", q8, onehot).reshape(
+                B, H, Hkv * hd
+            ).astype(jnp.int8)
+            kauxT = jnp.transpose(kaux, (0, 2, 1))  # (B, Hkv, M)
+            vauxT = jnp.transpose(vaux, (0, 2, 1))
+            selqT = (
+                onehot[None] * (qs[:, :, 0] * float(scale))[:, :, None]
+            )  # (B, H, Hkv)
+            args = (qbdT, k2, v2, kauxT, vauxT, selqT, sel)
+            in_specs = [
+                pl.BlockSpec((1, H, Hkv * hd), lambda b, t: (b, 0, 0)),
+                pl.BlockSpec((1, bm, Hkv * hd), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, bm, Hkv * hd), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, Hkv, bm), lambda b, t: (b, 0, t)),
+                pl.BlockSpec((1, Hkv, bm), lambda b, t: (b, 0, t)),
+                pl.BlockSpec((1, H, Hkv), lambda b, t: (b, 0, 0)),
+                pl.BlockSpec((H, Hkv), lambda b, t: (0, 0)),
+            ]
+            out = pl.pallas_call(
+                functools.partial(_kernel_quant_t, n_tiles=n_tiles),
+                grid=(B, n_tiles),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, H, hd), lambda b, t: (b, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((B, H, hd), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((H, 1), jnp.float32),
+                    pltpu.VMEM((H, 1), jnp.float32),
+                    pltpu.VMEM((H, hd), jnp.float32),
+                ],
+            )(*args)
+            return out[:, None].astype(q.dtype)
+        qbd = jnp.einsum("bhd,hi->bidh", q8, onehot).reshape(
+            B, Hkv * hd, H
+        ).astype(jnp.int8)
         selq = (
             selv[None] * (qs[:, :, 0] * float(scale))[:, None, :]
         )  # (B, Hkv, H)

@@ -57,3 +57,30 @@ def test_decode_attention_matches_reference(B, M, H, Hkv, quant):
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=2e-2, rtol=2e-2,
     )
+
+
+def test_decode_attention_quant_layouts_agree():
+    """The round-4 (bm, H) and round-5 transposed (H, bm) int8 score
+    layouts implement the same math (both vs the XLA reference)."""
+    from pt2tpu.ops.kernels import pallas_attention as pa
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v, valid, ks, vs = _mk(2, 256, 8, 2, 128, True, seed=5)
+    want = attention(q, k, v, None, valid, scale=0.125, k_scale=ks,
+                     v_scale=vs, attn_kernel=False)
+    outs = {}
+    orig = pa.QUANT_SCORE_LAYOUT
+    try:
+        for layout in ("bh", "hb"):
+            pa.QUANT_SCORE_LAYOUT = layout
+            with pltpu.force_tpu_interpret_mode():
+                outs[layout] = np.asarray(pa.decode_attention_pallas(
+                    q, k, v, valid, 0.125, k_scale=ks, v_scale=vs
+                ), np.float32)
+            np.testing.assert_allclose(
+                outs[layout], np.asarray(want, np.float32),
+                atol=2e-2, rtol=2e-2,
+            )
+    finally:
+        pa.QUANT_SCORE_LAYOUT = orig
+    np.testing.assert_allclose(outs["bh"], outs["hb"], atol=1e-3, rtol=1e-3)

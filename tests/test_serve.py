@@ -134,3 +134,28 @@ def test_chunked_prefill_kv_quant(model):
                         kv_quant=True, prefill_chunk=5)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_int8_integer_domain_close(model):
+    """The integer-domain int8 attention path (q-int8 scores + P-int8
+    context, default OFF — see common.INT8_INTEGER_DOMAIN) implements the
+    same math as the convert-based path to quantization tolerance."""
+    from pt2tpu.models import common
+
+    cfg, params = model
+    prompt = jax.random.randint(jax.random.PRNGKey(7), (2, 10), 0, cfg.vocab_size)
+    want = np.asarray(
+        greedy_generate(cfg, params, prompt, max_new=4, max_len=24, kv_quant=True)
+    )
+    orig = common.INT8_INTEGER_DOMAIN
+    common.INT8_INTEGER_DOMAIN = True
+    try:
+        # distinct max_len: the flag is read at trace time (jit-cache key)
+        got = np.asarray(
+            greedy_generate(cfg, params, prompt, max_new=4, max_len=32,
+                            kv_quant=True)
+        )
+    finally:
+        common.INT8_INTEGER_DOMAIN = orig
+    # token drift allowed only at argmax near-ties; require >= 3/4 agreement
+    assert (got == want).mean() >= 0.75
