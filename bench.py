@@ -140,11 +140,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="llama-2-7b")
     ap.add_argument(
-        "--mode", default="decode", choices=["decode", "prefill", "spec"],
+        "--mode", default="decode",
+        choices=["decode", "prefill", "spec", "engine"],
         help="decode (default): batch-N greedy decode tok/s; prefill: "
         "causal forward tok/s at --prompt length; spec: speculative "
         "decoding (draft+verify, batch 1) — with --draft-layers 0 the "
-        "draft IS the target (acceptance 1: the mechanism's ceiling)",
+        "draft IS the target (acceptance 1: the mechanism's ceiling); "
+        "engine: continuous-batching ServeEngine under mixed "
+        "prefill/decode load (scripts/engine_bench.py subprocess) — "
+        "steady tok/s + TTFT/ITL percentiles",
     )
     ap.add_argument(
         "--draft-layers", type=int, default=0,
@@ -206,6 +210,8 @@ def main():
     args = ap.parse_args()
     if args.dense_probe:
         return _dense_probe_main(args)
+    if args.mode == "engine":
+        return _engine_mode(args)
     t_start = time.time()
 
     # Backend watchdog: if the device tunnel is dead, backend init HANGS
@@ -345,6 +351,7 @@ def main():
     pct_roofline = None
     pct_mxu = None
     floor_tok_s = None
+    rec_prefill = None
     if args.mode == "decode" and on_tpu:
         # _HBM_STREAM_GBS is this chip's measured rate — meaningless on CPU
         pct_roofline = _pct_of_roofline(tparams, tok_s, args.batch)
@@ -363,6 +370,28 @@ def main():
         except Exception as e:
             print(f"floor probe failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
+        # Prefill row (VERDICT r4 item 6): MXU-bound causal forward at
+        # L=2048 (slope vs L=512 cancels dispatch), reported alongside the
+        # decode headline so every BENCH round carries a prefill MFU%.
+        if args.batch == 1 and time.time() - t_start < args.time_budget:
+            try:
+                prefill_tok_s = bench_prefill(
+                    cfg, tparams, 2048, impl, max(1, args.reps - 1), 1
+                )
+                rec_prefill = {
+                    "tok_s": round(prefill_tok_s, 1),
+                    "pct_mxu_roofline": _pct_of_mxu_roofline(
+                        cfg, prefill_tok_s
+                    ),
+                }
+                print(
+                    f"prefill 512->2048 slope: {prefill_tok_s:.1f} tok/s "
+                    f"({rec_prefill['pct_mxu_roofline']}% of bf16 MXU peak)",
+                    file=sys.stderr,
+                )
+            except Exception as e:
+                print(f"prefill probe failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
     elif args.mode == "prefill" and on_tpu:
         pct_mxu = _pct_of_mxu_roofline(cfg, tok_s)
         print(f"prefill MFU: {pct_mxu}% of bf16 MXU peak", file=sys.stderr)
@@ -413,6 +442,8 @@ def main():
         rec["pct_of_floor"] = round(100.0 * tok_s / floor_tok_s, 1)
     if pct_mxu is not None:
         rec["pct_mxu_roofline"] = pct_mxu
+    if rec_prefill is not None:
+        rec["prefill"] = rec_prefill
     print(json.dumps(rec))
 
 
@@ -476,6 +507,44 @@ def _pct_of_roofline(tparams, tok_s, batch):
         return None
     roofline = batch * _HBM_STREAM_GBS * 1e9 / total
     return round(100.0 * tok_s / roofline, 1)
+
+
+def _engine_mode(args):
+    """--mode engine: run the continuous-batching benchmark (VERDICT r4
+    item 5) as a subprocess of scripts/engine_bench.py and re-emit its
+    measurements as the standard one-line JSON record."""
+    import subprocess
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "engine_bench.py")
+    cmd = [sys.executable, script, "--model", args.model,
+           "--n", "32", "--new", str(args.new),
+           "--max-batch", str(max(args.batch, 8))]
+    if args.layers:
+        cmd += ["--layers", str(args.layers)]
+    if args.kv_quant:
+        cmd.append("--kv-quant")
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=2400)
+    sys.stderr.write(r.stderr[-2000:])
+    rec_in = None
+    for line in r.stdout.splitlines():
+        if line.startswith("{"):
+            rec_in = json.loads(line)
+    if rec_in is None:
+        raise SystemExit(
+            f"engine bench subprocess failed: {r.stderr[-500:]}"
+        )
+    model = rec_in.get("config", {}).get("model", args.model)
+    print(json.dumps({
+        "metric": f"ternary {model} continuous-batching engine "
+        f"steady tokens/s/chip (max_batch {max(args.batch, 8)})",
+        "value": rec_in["tok_s_steady"],
+        "unit": "tok/s",
+        "vs_baseline": None,
+        "ttft_mean_s": rec_in["ttft_mean_s"],
+        "itl_p50_ms": rec_in["itl_p50_ms"],
+        "itl_p99_ms": rec_in["itl_p99_ms"],
+    }))
 
 
 def _dense_probe(cfg, args, n_layers):
