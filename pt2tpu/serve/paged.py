@@ -309,7 +309,7 @@ class PagedServeEngine(ServeEngine):
     def __init__(self, cfg, params, max_batch=8, max_len=2048,
                  kv_pages: Optional[int] = None, page_size: int = 64,
                  impl="auto", seed: int = 0, dtype=jnp.bfloat16,
-                 kv_quant: bool = False):
+                 kv_quant: bool = False, decode_quantum: int = 1):
         # Sliding-window configs: the window is enforced in-attention
         # (models.decoder.sliding_adjust folds it into kv_valid on the
         # per-row decode path), so results are exact. Pages holding
@@ -326,7 +326,7 @@ class PagedServeEngine(ServeEngine):
         # writes can never stomp a live page. Usable pool = kv_pages.
         super().__init__(
             cfg, params, max_batch=max_batch, max_len=max_len, impl=impl,
-            seed=seed,
+            seed=seed, decode_quantum=decode_quantum,
             prefill_fn=self._pf, decode_fn=_paged_decode_step,
             cache_factory=lambda c, b, m: init_paged(
                 c, kv_pages + 1, page_size, b, maxp, dtype,

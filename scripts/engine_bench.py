@@ -159,6 +159,13 @@ def main():
     ap.add_argument("--kv-quant", action="store_true")
     ap.add_argument("--a8", action="store_true", default=None)
     ap.add_argument(
+        "--quantum", type=int, default=1,
+        help="decode_quantum: decode steps batched per host dispatch "
+        "(multi-step scheduling; token-identical, amortizes the per-step "
+        "host round-trip — measured 113 ms/step at quantum 1 on this "
+        "tunnel vs 6.2 ms of compute)",
+    )
+    ap.add_argument(
         "--draft-layers", type=int, default=0,
         help="speculative engine: draft depth (same-seed random params — "
         "the batched-verify economics probe of VERDICT r4 item 7; real "
@@ -203,11 +210,16 @@ def main():
     eng = ServeEngine(
         cfg, params, max_batch=args.max_batch, max_len=args.max_len,
         kv_quant=args.kv_quant, impl=impl, draft=draft, spec_k=args.spec_k,
+        decode_quantum=args.quantum,
     )
-    # warmup: one request per bucket, drained — compiles excluded
+    # warmup: one request per bucket, drained — compiles excluded. With a
+    # quantum, max_new = 2*quantum-1 walks the effective q through every
+    # power-of-2 bucket (min-remaining shrinks 2q-1 -> q -> ... -> 1), so
+    # all _decode_quantum variants compile here, not mid-measurement.
     t0 = time.time()
+    warm_new = max(4, 2 * args.quantum - 1)
     warm = [
-        eng.submit(np.zeros(lp, np.int64), max_new=4)
+        eng.submit(np.zeros(lp, np.int64), max_new=warm_new)
         for lp in prompt_mix(args.max_len, args.new)
     ]
     eng.run()
@@ -225,6 +237,7 @@ def main():
         "kv_quant": args.kv_quant, "load_rps": args.load, "new": args.new,
         "prompt_mix": prompt_mix(args.max_len, args.new),
         "draft_layers": args.draft_layers, "spec_k": args.spec_k,
+        "quantum": args.quantum,
     }
     if draft is not None:
         out["spec_stats"] = dict(eng.stats_spec)
