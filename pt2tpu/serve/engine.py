@@ -447,6 +447,12 @@ class ServeEngine:
             "steps": 0,
             "tokens": 0,
             "tokens_per_s": 0.0,
+            # wall-time split of the two device-touching phases (admission
+            # prefills + their first-token fetch vs decode dispatch+fetch):
+            # on tunnel-attached hosts the dispatch round-trips dominate,
+            # and this split is what locates them (RESULTS round 5)
+            "t_admit_s": 0.0,
+            "t_decode_s": 0.0,
         }
 
     def submit(
@@ -490,9 +496,19 @@ class ServeEngine:
         return plans
 
     def _exec_admission(self, slot: int, req: Request) -> None:
+        """Dispatch + finalize one admission (see the split below; kept as
+        the single-call form for subclass overrides and multihost)."""
+        self._finalize_admission(slot, req, self._dispatch_admission(slot, req))
+
+    def _dispatch_admission(self, slot: int, req: Request):
         """Run the (deterministic, device-touching) admission: prefill into
-        ``slot`` + slot bookkeeping. In multihost mode every process calls
-        this with identical arguments."""
+        ``slot`` + slot bookkeeping. Returns the on-device next-token
+        scalar WITHOUT fetching it — _admit dispatches every planned
+        admission first and fetches afterwards, so n same-step admissions
+        cost one host round-trip instead of n (each int(nxt) fetch blocks
+        on the full prefill; measured ~0.4-0.7 s per round-trip on the
+        tunnel). In multihost mode every process calls this with identical
+        arguments."""
         Lp = len(req.prompt)
         Lb = min(_bucket(Lp, self._bucket_lo), self.M)
         padded = np.zeros(Lb, np.int32)
@@ -530,18 +546,38 @@ class ServeEngine:
                 cfg_d, params_d, jnp.asarray(padded[None, :]),
                 jnp.int32(Lp), self.d_cache, slot, self.impl,
             )
+        return nxt
+
+    def _finalize_admission(self, slot: int, req: Request, nxt) -> None:
         first = int(nxt)
         req.out.append(first)
         self.slots[slot] = req
-        self.positions[slot] = Lp
+        self.positions[slot] = len(req.prompt)
         self.tokens[slot] = first
         self.stats["admitted"] += 1
         self._maybe_finish(slot)
 
     def _admit(self) -> None:
+        t0 = self._time.time()
+        try:
+            self._admit_inner()
+        finally:
+            self.stats["t_admit_s"] = round(
+                self.stats.get("t_admit_s", 0.0)
+                + (self._time.time() - t0), 3
+            )
+
+    def _admit_inner(self) -> None:
         if not self._mh:
-            for slot, req in self._plan_admissions():
-                self._exec_admission(slot, req)
+            # dispatch every planned prefill before fetching any first
+            # token: one blocking round-trip for the whole batch of
+            # admissions instead of one per admission
+            pend = [
+                (slot, req, self._dispatch_admission(slot, req))
+                for slot, req in self._plan_admissions()
+            ]
+            for slot, req, nxt in pend:
+                self._finalize_admission(slot, req, nxt)
             return
         from jax.experimental import multihost_utils
 
@@ -641,12 +677,16 @@ class ServeEngine:
             )
         q = self._quantum_q()
         if q > 1:
+            td0 = self._time.time()
             seq, self.cache = _decode_quantum(
                 self.cfg, self.params, jnp.asarray(self.tokens),
                 self.cache, jnp.asarray(self.positions),
                 jnp.asarray(active), samp, q, self.impl, self._decode_fn,
             )
             seq = np.asarray(seq)  # (B, q)
+            self.stats["t_decode_s"] = round(
+                self.stats["t_decode_s"] + (self._time.time() - td0), 3
+            )
             self.stats["steps"] += q
             for slot in range(self.B):
                 req = self.slots[slot]
@@ -675,12 +715,16 @@ class ServeEngine:
             self.cfg, self.params, jnp.asarray(self.tokens), self.cache,
             jnp.asarray(self.positions), jnp.asarray(active), self.impl,
         )
+        td0 = self._time.time()
         nxt, self.cache = (
             self._decode_fn(*dc_args)
             if samp is None
             else self._decode_fn(*dc_args, samp)
         )
         nxt = np.asarray(nxt)
+        self.stats["t_decode_s"] = round(
+            self.stats["t_decode_s"] + (self._time.time() - td0), 3
+        )
         self.stats["steps"] += 1
         for slot in range(self.B):
             if self.slots[slot] is None:

@@ -224,7 +224,10 @@ def main():
     ]
     eng.run()
     print(f"warmup (compiles): {time.time()-t0:.1f}s", file=sys.stderr)
-    eng.stats.update(steps=0, tokens=0, admitted=0, completed=0)
+    eng.stats.update(
+        steps=0, tokens=0, admitted=0, completed=0,
+        t_admit_s=0.0, t_decode_s=0.0,
+    )
     if draft is not None:
         eng.stats_spec.update(rounds=0, drafted=0, accepted=0)
     eng._t0 = time.time()
