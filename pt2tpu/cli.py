@@ -269,7 +269,7 @@ def cmd_serve(args):
         engine = PagedServeEngine(
             cfg, params, max_batch=args.max_batch, max_len=args.max_len,
             page_size=args.page_size, kv_pages=args.kv_pages,
-            kv_quant=args.kv_int8,
+            kv_quant=args.kv_int8, decode_quantum=args.quantum,
         )
     elif getattr(args, "draft", None):
         from .serve.engine import ServeEngine
@@ -288,7 +288,7 @@ def cmd_serve(args):
     srv = ServingServer(
         cfg, params, host=args.host, port=args.port,
         max_batch=args.max_batch, max_len=args.max_len, kv_quant=args.kv_int8,
-        engine=engine,
+        engine=engine, decode_quantum=args.quantum,
     ).start()
     print(f"serving on http://{args.host}:{srv.port} "
           f"(POST /generate, GET /health); ctrl-c to stop")
@@ -395,6 +395,10 @@ def build_parser():
                     help="draft model artifact/config: per-row speculative "
                     "decoding inside the batcher (greedy requests only)")
     sv.add_argument("--spec-k", type=int, default=4)
+    sv.add_argument("--quantum", type=int, default=1,
+                    help="decode steps batched per host dispatch "
+                    "(multi-step scheduling; token-identical — trades "
+                    "admission latency for dispatch amortization)")
     sv.set_defaults(fn=cmd_serve)
 
     i = sub.add_parser("info", help="inspect an artifact")

@@ -42,10 +42,11 @@ class ServingServer:
         kv_quant: bool = False,
         impl: str = "auto",
         engine: Optional[ServeEngine] = None,
+        decode_quantum: int = 1,
     ):
         self.engine = engine or ServeEngine(
             cfg, params, max_batch=max_batch, max_len=max_len,
-            kv_quant=kv_quant, impl=impl,
+            kv_quant=kv_quant, impl=impl, decode_quantum=decode_quantum,
         )
         self._stop = threading.Event()
         self._driver: Optional[threading.Thread] = None
