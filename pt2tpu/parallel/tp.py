@@ -684,8 +684,8 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
             )
         return decode_sms[with_samp]
 
-    def _prefill_body(slot, with_samp=False):
-        def run(params_, prompt, true_len, cache, samp=None):
+    def _prefill_body(with_samp=False):
+        def run(params_, prompt, true_len, cache, slot, samp=None):
             M = cache.max_len
             Lb = prompt.shape[1]
             ways = jax.lax.psum(1, "model")
@@ -749,21 +749,24 @@ def make_tp_engine_fns(cfg: dec.ModelConfig, mesh: Mesh, params, chunks: int = 1
     def prefill_fn(cfg_, params_, prompt, true_len, cache, slot, impl_="auto",
                    samp=None):
         with_samp = samp is not None
-        key = (slot, prompt.shape[1], with_samp)
+        # slot is a traced scalar (the pool scatter is a dynamic slice), so
+        # only the prompt bucket causes compiles — slot-static cost
+        # max_batch program variants per bucket (see _prefill_into_slot).
+        key = (prompt.shape[1], with_samp)
         if key not in prefill_cache:
-            in_specs = (pspecs, P(None, None), P(), cache_spec)
+            in_specs = (pspecs, P(None, None), P(), cache_spec, P())
             if with_samp:
                 in_specs = in_specs + ((P(), P(), P(), P(), P()),)
             prefill_cache[key] = jax.jit(
                 jax.shard_map(
-                    _prefill_body(slot, with_samp),
+                    _prefill_body(with_samp),
                     mesh=mesh,
                     in_specs=in_specs,
                     out_specs=(P(), cache_spec),
                     check_vma=False,
                 )
             )
-        args = (params_, prompt, jnp.int32(true_len), cache)
+        args = (params_, prompt, jnp.int32(true_len), cache, jnp.int32(slot))
         if with_samp:
             args = args + (samp,)
         return prefill_cache[key](*args)

@@ -266,14 +266,18 @@ def _spec_decode_step(
     return votes, n_acc, t_cache, d_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "slot", "impl"))
-def _prefill_into_slot(cfg, params, prompt, true_len, cache, slot: int,
+@functools.partial(jax.jit, static_argnames=("cfg", "impl"))
+def _prefill_into_slot(cfg, params, prompt, true_len, cache, slot,
                        impl="auto", samp=None):
     """Prefill one right-padded (1, Lb) prompt on a temp 1-row cache and
     scatter its rows into pool slot ``slot``.
 
-    ``true_len`` is traced, so only the bucket length Lb (and the slot)
-    cause compiles; the next token comes from the hidden state at position
+    ``true_len`` AND ``slot`` are traced (the scatter is a
+    dynamic_update_slice), so only the bucket length Lb causes compiles —
+    with slot static, a max_batch-8 engine compiled 8 variants per bucket,
+    and the 24 extra compiles landed MID-MEASUREMENT as requests rotated
+    through slots (measured 0.79 s/admission on the tunnel, 3x the decode
+    phase). The next token comes from the hidden state at position
     ``true_len - 1`` (causality makes the right padding inert, and decode
     overwrites pad cache entries as the sequence grows past them).
     Returns (next-token scalar, cache).

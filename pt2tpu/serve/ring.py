@@ -350,7 +350,7 @@ def _ring_decode_step(cfg, params, tokens, caches, positions, active,
     return nxt, RingCaches(glob=glob, ring=ring)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "slot", "impl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "impl"))
 def _ring_prefill_into_slot(cfg, params, prompt, true_len, caches, slot,
                             impl="auto", samp=None):
     """Prefill one padded (1, Lb) prompt on a temp flat cache, then scatter
