@@ -166,10 +166,15 @@ def main():
     )
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument(
-        "--perms", default="ssr", choices=["ssr", "identity"],
-        help="ssr (default): realistic post-fold layout — packed one-hot MXU "
-        "gathers on qkv/o/gateup, folded down (what quant/fold.py emits for "
-        "a real SSR model); identity: no permutations (upper bound)",
+        "--perms", default="auto",
+        choices=["auto", "ssr", "identity", "down"],
+        help="auto (default): the layout the quantization pipeline's "
+        "default ssr_scope='auto' emits for this model — 'down' (SSR only "
+        "on the down projection, perm folded at pack time, zero runtime "
+        "gathers) at dim >= 640 where the 61M quality gate measured the "
+        "skip FREE, 'ssr' below; ssr: full-SSR post-fold layout (packed "
+        "one-hot MXU gathers on qkv/o/gateup, ~0.55 ms/tok at 7B); "
+        "identity: no permutations (upper bound)",
     )
     ap.add_argument(
         "--lm-head", default="bf16", choices=["bf16", "ternary"],
@@ -262,7 +267,7 @@ def main():
 
         if args.layers:
             raise SystemExit("--layers cannot override a real artifact's depth")
-        if args.perms != "ssr" or args.lm_head != "bf16":
+        if args.perms != "auto" or args.lm_head != "bf16":
             print(
                 "warning: --perms/--lm-head describe the random layout model "
                 "and are ignored for a real --artifact (its packed layout is "
@@ -276,6 +281,10 @@ def main():
         if args.layers:
             cfg = cfg.with_(n_layers=args.layers)
     cfg = cfg.with_(max_seq_len=max(cfg.max_seq_len, args.prompt + args.new))
+    if args.perms == "auto":  # what the pipeline emits for this width
+        from pt2tpu.utils.randmodel import default_perm_mode
+
+        args.perms = default_perm_mode(cfg)
     if args.exact:
         args.a8 = False
     elif on_tpu and args.mode == "decode" and not args.a8:

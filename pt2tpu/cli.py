@@ -93,6 +93,7 @@ def cmd_quantize(args):
         fuse_projections=not args.no_fuse,
         fold_perms=not args.no_fold,
         ssr_skip=tuple(s for s in args.ssr_skip.split(",") if s),
+        ssr_scope=args.ssr_scope,
         quantize_lm_head=args.quantize_lm_head,
     )
     log = MetricsLogger(
@@ -325,6 +326,13 @@ def build_parser():
     q.add_argument("--ssr_skip", default="",
                    help="comma-separated quant groups to quantize without "
                    "SSR (e.g. 'o' -> one fewer gather per layer)")
+    q.add_argument("--ssr_scope", default="auto",
+                   choices=["auto", "all", "down"],
+                   help="which groups SSR covers: all (reference recipe), "
+                   "down (gather-free serving layout — SSR only where its "
+                   "perm folds for free), auto (default: all below dim "
+                   "640, down at/above — the 61M gate measured the skip "
+                   "quality-FREE there; RESULTS round 5)")
     q.add_argument("--quantize_lm_head", action="store_true",
                    help="also ternarize the lm_head (cuts ~vocab*dim*1.75 "
                    "bytes/token of decode HBM traffic; costs perplexity)")

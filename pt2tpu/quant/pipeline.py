@@ -51,6 +51,20 @@ class QuantConfig:
     # (sequential block order -> identity perm -> no runtime gather). E.g.
     # ("o",) trades o-proj's SSR quality gain for one fewer MXU gather per
     # layer; a group name here only matters while use_ssr is True.
+    ssr_scope: str = "auto"  # which groups SSR covers:
+    # "all"  — every group (the reference's recipe; runtime perms on
+    #          qkv/gateup/o are realized as packed one-hot MXU gathers,
+    #          ~0.55 ms/token at 7B);
+    # "down" — SSR only on the down projection, whose perm FOLDS into
+    #          gate/up output lanes at pack time (quant/fold.py) — the
+    #          gather-free serving layout, zero runtime permutation cost;
+    # "auto" — "all" below dim 640, "down" at dim >= 640. Evidence
+    #          (RESULTS round 5, 61M gate): skipping SSR on qkv/gateup/o
+    #          is quality-FREE at dim 640 (ppl 11.65 vs 11.69 full-SSR)
+    #          while costing +7.9% ppl at dim 384 — SSR's value
+    #          concentrates in `down` as width grows, and the skip buys
+    #          ~+12% decode throughput at 7B. Quality-gate per model when
+    #          it matters; explicit ssr_skip entries are unioned in.
     use_aga: bool = True
     aga_mode: str = "exact"  # "exact" (robust, default) | "reference"
     max_iter: int = 100
@@ -69,6 +83,22 @@ class QuantConfig:
     # ref main.py:272). Cuts batch-1 decode HBM traffic by ~vocab*dim*1.75
     # bytes/token at a measurable perplexity cost; calibrated against the
     # final-norm outputs. Ignored for tied-embedding models.
+
+
+# every group name except "down" (fused and unfused spellings)
+_NON_DOWN_GROUPS = ("q", "k", "v", "qkv", "o", "gate", "up", "gateup")
+
+
+def resolve_ssr_skip(qcfg: "QuantConfig", dim: int) -> Tuple[str, ...]:
+    """Effective ssr_skip for a model of width ``dim`` (see ssr_scope)."""
+    scope = qcfg.ssr_scope
+    if scope == "auto":
+        scope = "all" if dim < 640 else "down"
+    if scope == "all":
+        return qcfg.ssr_skip
+    if scope == "down":
+        return tuple(sorted(set(qcfg.ssr_skip) | set(_NON_DOWN_GROUPS)))
+    raise ValueError(f"ssr_scope must be all|down|auto, got {scope!r}")
 
 
 def quantize_linear(
@@ -212,6 +242,7 @@ def quantize_model(
     ]
     # Quantization groups: members share one weight matrix / Hessian / perm.
     fuse = qcfg.fuse_projections
+    ssr_skip = resolve_ssr_skip(qcfg, cfg.dim)
     groups = []
     if fuse and all(n in all_names for n in ("q", "k", "v")):
         groups.append(("qkv", ("q", "k", "v"), "attn_in"))
@@ -304,11 +335,11 @@ def quantize_model(
                 )
                 p_gu, st_gu = quantize_linear(
                     lin_gu, accs_gu[e], qcfg,
-                    use_ssr=qcfg.use_ssr and "gateup" not in qcfg.ssr_skip,
+                    use_ssr=qcfg.use_ssr and "gateup" not in ssr_skip,
                 )
                 p_dn, st_dn = quantize_linear(
                     DenseLinear(w=lp["down"].w[e]), accs_dn[e], qcfg,
-                    use_ssr=qcfg.use_ssr and "down" not in qcfg.ssr_skip,
+                    use_ssr=qcfg.use_ssr and "down" not in ssr_skip,
                 )
                 expert_lps.append({"gateup": p_gu, "down": p_dn})
                 moe_stats["gateup"].append(st_gu)
@@ -354,7 +385,7 @@ def quantize_model(
                 lin,
                 accs[tap],
                 qcfg,
-                use_ssr=qcfg.use_ssr and gname not in qcfg.ssr_skip,
+                use_ssr=qcfg.use_ssr and gname not in ssr_skip,
             )
             new_lp[gname] = packed
             for m in members:

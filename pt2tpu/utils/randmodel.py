@@ -77,6 +77,12 @@ def random_ternary_linear(
     return p
 
 
+def default_perm_mode(cfg) -> str:
+    """The perm layout quant.pipeline's default ssr_scope='auto' emits for
+    this model width (mirrors resolve_ssr_skip's dim-640 threshold)."""
+    return "down" if cfg.dim >= 640 else "ssr"
+
+
 def random_ternary_params(
     cfg: dec.ModelConfig,
     key,
@@ -84,7 +90,7 @@ def random_ternary_params(
     block_size: int = 128,
     scale_dtype=jnp.bfloat16,
     fused: bool = True,
-    perm_mode: str = "identity",  # "identity" | "ssr"
+    perm_mode: str = "identity",  # "identity" | "ssr" | "down"
     ternary_lm_head: bool = False,
 ):
     """Full decoder params with every projection pre-ternarized.
@@ -94,8 +100,12 @@ def random_ternary_params(
     per-projection layout.
 
     ``perm_mode="ssr"`` reproduces the post-fold layout of a real
-    SSR-quantized model (quant/fold.py): qkv/o/gateup carry packed one-hot
-    MXU gathers, down is input_folded — the honest benchmark target.
+    full-SSR-quantized model (quant/fold.py): qkv/o/gateup carry packed
+    one-hot MXU gathers, down is input_folded. ``perm_mode="down"``
+    reproduces what the pipeline's default ssr_scope="auto" emits at
+    dim >= 640 (RESULTS round 5: quality-free there): SSR only on down
+    (input_folded, zero runtime cost), identity perms elsewhere — the
+    gather-free serving layout.
 
     Builds the non-projection parts directly instead of going through
     ``init_params`` — a 7B dense init would materialize ~13.4 GB of bf16
@@ -188,6 +198,8 @@ def random_ternary_params(
             pm = "identity"
             if perm_mode == "ssr":
                 pm = "folded" if name == "down" else "ssr"
+            elif perm_mode == "down":
+                pm = "folded" if name == "down" else "identity"
             lp[name] = random_ternary_linear(
                 lk, o, i, block_size, has_bias, scale_dtype, perm_mode=pm
             )

@@ -178,7 +178,7 @@ def main():
 
     from pt2tpu.models import get_config
     from pt2tpu.serve.engine import ServeEngine
-    from pt2tpu.utils.randmodel import random_ternary_params
+    from pt2tpu.utils.randmodel import default_perm_mode, random_ternary_params
 
     on_tpu = jax.default_backend() == "tpu"
     if args.a8 is None:
@@ -190,7 +190,7 @@ def main():
         cfg = cfg.with_(n_layers=args.layers)
     cfg = cfg.with_(max_seq_len=max(cfg.max_seq_len, args.max_len))
     params = random_ternary_params(
-        cfg, jax.random.PRNGKey(0), perm_mode="ssr"
+        cfg, jax.random.PRNGKey(0), perm_mode=default_perm_mode(cfg)
     )
     impl = "a8" if args.a8 else "auto"
     if on_tpu:
@@ -204,7 +204,7 @@ def main():
     if args.draft_layers:
         cfg_d = cfg.with_(n_layers=args.draft_layers)
         params_d = random_ternary_params(
-            cfg_d, jax.random.PRNGKey(0), perm_mode="ssr"
+            cfg_d, jax.random.PRNGKey(0), perm_mode=default_perm_mode(cfg_d)
         )
         draft = (cfg_d, params_d)
     eng = ServeEngine(

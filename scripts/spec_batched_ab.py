@@ -110,7 +110,7 @@ def main():
     args = ap.parse_args()
 
     from pt2tpu.models import get_config
-    from pt2tpu.utils.randmodel import random_ternary_params
+    from pt2tpu.utils.randmodel import default_perm_mode, random_ternary_params
 
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
@@ -122,9 +122,9 @@ def main():
     cfg = cfg.with_(max_seq_len=max(cfg.max_seq_len, args.max_len))
     cfg_d = cfg.with_(n_layers=args.draft_layers)
     impl = "a8" if on_tpu else "auto"
-    params = random_ternary_params(cfg, jax.random.PRNGKey(0), perm_mode="ssr")
+    params = random_ternary_params(cfg, jax.random.PRNGKey(0), perm_mode=default_perm_mode(cfg))
     params_d = random_ternary_params(
-        cfg_d, jax.random.PRNGKey(1), perm_mode="ssr"
+        cfg_d, jax.random.PRNGKey(1), perm_mode=default_perm_mode(cfg_d)
     )
     if on_tpu:
         from pt2tpu.ops import ternary_matmul as _tm
