@@ -101,6 +101,9 @@ def main():
     toks = np.asarray(
         np.random.default_rng(0).integers(0, V, (2, 48)), np.int32
     )
+    # parity forward in f32: the fp16 CPU forward overflows to NaN at
+    # dim >= 896 (the saved checkpoint stays fp16 — only the check widens)
+    model = model.float()
     with torch.no_grad():
         tlogits = model(torch.from_numpy(toks).long()).logits.float().numpy()
     jlogits = np.asarray(
