@@ -133,13 +133,34 @@ def quantize_linear(
     dW = W - W_hat
     num = jnp.einsum("ij,jk,ik->", dW, H, dW)
     den = jnp.maximum(jnp.einsum("ij,jk,ik->", W, H, W), 1e-12)
+    # Weight-conditioning signal: excess kurtosis of the normalized weight
+    # matrix. A per-row 3-level grid cannot represent heavy-tailed rows,
+    # and rel_out_err does NOT catch it — GPTQ pushes the error onto
+    # low-Hessian directions that fire at eval time (measured: a
+    # kurtosis-6.3 gate/up quantized at rel_out_err 0.002 and detonated
+    # end-to-end ppl 100x, RESULTS round 5 '120M collapse'). Gaussian
+    # weights sit at ~3; > ~5 predicts a poor ternary fit.
+    rms = jnp.sqrt(jnp.maximum(jnp.mean(W**2), 1e-24))
+    kurt = float(jnp.mean((W / rms) ** 4))
     stats = {
         "rel_out_err": float(num / den),
         "rel_w_err": float(
             jnp.linalg.norm(dW) / jnp.maximum(jnp.linalg.norm(W), 1e-12)
         ),
+        "w_kurt": round(kurt, 2),
         "nsamples": H_acc.nsamples,
     }
+    if kurt > 5.0:
+        import sys
+
+        print(
+            f"warning: heavy-tailed weights (kurtosis {kurt:.1f} > 5; "
+            "gaussian ~3) — the ternary grid fits such rows poorly and "
+            "per-layer rel_out_err will NOT show it; expect end-to-end "
+            "quality loss (consider leaving this projection dense via "
+            "QuantConfig.skip, or fixing the checkpoint's training)",
+            file=sys.stderr,
+        )
     return packed, stats
 
 

@@ -78,3 +78,31 @@ def test_auto_scope_wide_emits_gather_free(rng):
     toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 16)), jnp.int32)
     out = dec.forward(cfg, qp, toks, impl="xla")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_kurtosis_conditioning_signal(rng, capsys):
+    """Heavy-tailed weights trigger the w_kurt warning; gaussian don't.
+    (The 120M collapse of RESULTS round 5: kurtosis-6+ MLP rows quantize
+    at tiny rel_out_err and detonate end-to-end — w_kurt is the cheap
+    predictor.)"""
+    import sys
+
+    from pt2tpu.models.decoder import DenseLinear
+    from pt2tpu.quant.hessian import HessianAccumulator
+    from pt2tpu.quant.pipeline import quantize_linear
+
+    m = 256
+    X = jnp.asarray(rng.standard_normal((1024, m)), jnp.float32)
+    acc = HessianAccumulator(m)
+    acc.update(X)
+
+    Wg = jnp.asarray(rng.standard_normal((128, m)) * 0.05, jnp.float32)
+    _, st = quantize_linear(DenseLinear(w=Wg), acc, QuantConfig())
+    assert st["w_kurt"] < 4.0
+
+    # student-t(3) weights: heavy tails, kurtosis far above gaussian
+    Wt = jnp.asarray(rng.standard_t(3, (128, m)) * 0.05, jnp.float32)
+    _, st2 = quantize_linear(DenseLinear(w=Wt), acc, QuantConfig())
+    err = capsys.readouterr().err
+    assert st2["w_kurt"] > 5.0
+    assert "heavy-tailed" in err
